@@ -1,0 +1,81 @@
+"""Host+TPU co-processing join: build side exceeds device memory.
+
+Analog of outOfGPU_Join2_payload (reference
+src/hash_join_clustered_probe.cu:1000-1680): the host CPU pre-partitions both
+relations into 2^OUTER_BITS coarse partitions (reference LOG_PARTS_OUTER=4 ->
+16, src/partition-primitives.cuh:38-42) with the native OpenMP partitioner,
+a knapsack scheduler groups build partitions into device-resident batches
+(groupOptimal2, src/partition-primitives.cu:381-469), and each (R_p, S_p)
+pair is refined + joined on device with the radix field shifted past the
+outer bits. Partial aggregates sum with int32 wraparound, so batching order
+is irrelevant.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icde2019_gpu_join_tpu import datagen
+from icde2019_gpu_join_tpu.config import EngineConfig
+from icde2019_gpu_join_tpu.models.joins import ClusteredJoin, JoinResult
+from icde2019_gpu_join_tpu.relation import Relation
+from icde2019_gpu_join_tpu.utils.timing import PhaseTimer
+
+OUTER_BITS = 4          # LOG_PARTS_OUTER analog
+PARTS_RESIDENT = 5      # device-resident build slots (partition-primitives.cuh:42)
+
+
+def coprocess_join_aggregate(
+    r: Relation, s: Relation, config: Optional[EngineConfig] = None
+) -> JoinResult:
+    """SUM(Pr*Ps); r/s hold host numpy arrays (the oversized case)."""
+    config = config or EngineConfig()
+    timer = PhaseTimer()
+    fb = config.radix.first_bit
+    parts_host = 1 << OUTER_BITS
+
+    rk = np.asarray(r.keys, dtype=np.int32)
+    rp = np.asarray(r.payload, dtype=np.int32)
+    sk = np.asarray(s.keys, dtype=np.int32)
+    sp = np.asarray(s.payload, dtype=np.int32)
+
+    with timer.phase("host_partition", bytes_moved=16 * (rk.size + sk.size),
+                     rows=rk.size + sk.size):
+        rk_p, rp_p, cnt_r, off_r = datagen.host_partition(rk, rp, OUTER_BITS, fb)
+        sk_p, sp_p, cnt_s, off_s = datagen.host_partition(sk, sp, OUTER_BITS, fb)
+
+    # Knapsack batches over build-partition gains (fraction of resident
+    # capacity each consumes), as in groupOptimal2.
+    avg = max(1, rk.size // parts_host)
+    gains = cnt_r.astype(np.float64) / avg  # ~1.0 per uniform partition
+    batch_of = datagen.knapsack_batches(gains, PARTS_RESIDENT)
+    num_batches = int(batch_of.max()) + 1 if batch_of.size else 0
+
+    # Inner engine: radix field starts past the outer bits.
+    import dataclasses
+
+    inner_cfg = dataclasses.replace(
+        config,
+        radix=dataclasses.replace(config.radix, first_bit=fb + OUTER_BITS),
+    )
+    engine = ClusteredJoin(inner_cfg)
+
+    total = np.uint32(0)
+    for b in range(num_batches):
+        for p in np.nonzero(batch_of == b)[0]:
+            r_lo, r_hi = int(off_r[p]), int(off_r[p + 1])
+            s_lo, s_hi = int(off_s[p]), int(off_s[p + 1])
+            if r_hi == r_lo or s_hi == s_lo:
+                continue
+            with timer.phase("pair", rows=(r_hi - r_lo) + (s_hi - s_lo),
+                             bytes_moved=8 * ((r_hi - r_lo) + (s_hi - s_lo))) as out:
+                rr = Relation(jnp.asarray(rk_p[r_lo:r_hi]), jnp.asarray(rp_p[r_lo:r_hi]))
+                ss = Relation(jnp.asarray(sk_p[s_lo:s_hi]), jnp.asarray(sp_p[s_lo:s_hi]))
+                res = engine.aggregate(rr, ss)
+                total = total + np.uint32(np.int64(res.aggregate) & 0xFFFFFFFF)
+                out["result"] = res.aggregate
+    return JoinResult(aggregate=int(np.int32(total)), timer=timer)

@@ -1,0 +1,130 @@
+"""NumPy reference implementations ("oracles") for every engine operator.
+
+The reference ships a CPU oracle join that is compiled but never called
+(joinCpu, reference src/hash_join_clustered_probe.cu:2025-2059); its printed
+result aggregates are the only correctness signal. Here the oracle layer is
+first-class: every TPU operator is property-tested against these.
+
+Semantics mirrored exactly:
+  - equi-join on int32 keys;
+  - aggregate = SUM(Pr * Ps) over all matching pairs, computed in int32 with
+    wraparound (the reference accumulates `count += pval * payload[pos]` in
+    int32 and atomicAdds into a global int32,
+    src/join-primitives.cu:1052-1092). Wraparound sums are associative, so
+    any evaluation order gives the same value.
+  - materialization = the multiset of matched (Pr, Ps) pairs; the reference's
+    output order is nondeterministic (atomic cursor,
+    src/join-primitives.cu:1358-1373), so parity is order-insensitive.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def partition_ids(keys: np.ndarray, total_bits: int, first_bit: int) -> np.ndarray:
+    """Radix partition id of each key: (uint32(hasht(k)) >> first_bit) & mask."""
+    u = keys.astype(np.int64).view(np.uint64) if keys.dtype == np.int64 else keys.view(np.uint32)
+    return ((u >> np.uint32(first_bit)) & np.uint32((1 << total_bits) - 1)).astype(np.int64)
+
+
+def radix_partition(
+    keys: np.ndarray, payload: np.ndarray, total_bits: int, first_bit: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Stable CSR partition: returns (keys', payload', counts, offsets)."""
+    p = partition_ids(keys, total_bits, first_bit)
+    order = np.argsort(p, kind="stable")
+    counts = np.bincount(p, minlength=1 << total_bits).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return keys[order], payload[order], counts, offsets
+
+
+def _match_ranges(r_keys: np.ndarray, s_keys: np.ndarray):
+    """For each s, the [lo, hi) range of matches in sorted R order."""
+    order = np.argsort(r_keys, kind="stable")
+    rk = r_keys[order]
+    lo = np.searchsorted(rk, s_keys, side="left")
+    hi = np.searchsorted(rk, s_keys, side="right")
+    return order, lo, hi
+
+
+def join_count(r_keys: np.ndarray, s_keys: np.ndarray) -> int:
+    """Number of matching (r, s) pairs."""
+    _, lo, hi = _match_ranges(r_keys, s_keys)
+    return int(np.sum(hi - lo, dtype=np.int64))
+
+
+def join_aggregate(
+    r_keys: np.ndarray, r_pay: np.ndarray, s_keys: np.ndarray, s_pay: np.ndarray
+) -> int:
+    """SUM(Pr * Ps) over matches, int32 wraparound; returns python int32 value."""
+    order, lo, hi = _match_ranges(r_keys, s_keys)
+    rp = r_pay[order].astype(np.uint64)
+    # NB: np.concatenate([[0], uint64]) would promote to float64 and lose
+    # precision past 2^53 — build the prefix array explicitly.
+    pref = np.zeros(rp.shape[0] + 1, dtype=np.uint64)
+    np.cumsum(rp, out=pref[1:])  # mod 2^64
+    sub = (pref[hi] - pref[lo]).astype(np.uint32)  # sum of Pr per s, mod 2^32
+    total = np.sum(sub * s_pay.astype(np.uint32), dtype=np.uint64)
+    return int(np.uint32(total).view(np.int32))
+
+
+def join_materialize(
+    r_keys: np.ndarray, r_pay: np.ndarray, s_keys: np.ndarray, s_pay: np.ndarray
+) -> np.ndarray:
+    """All matched (Pr, Ps) pairs as an [m, 2] int32 array (canonical order:
+    sorted lexicographically, since reference output order is undefined)."""
+    order, lo, hi = _match_ranges(r_keys, s_keys)
+    counts = hi - lo
+    m = int(counts.sum())
+    s_idx = np.repeat(np.arange(s_keys.shape[0]), counts)
+    # ranges lo[i]..hi[i) flattened:
+    starts = np.repeat(lo, counts)
+    within = np.arange(m) - np.repeat(np.concatenate([[0], np.cumsum(counts)])[:-1], counts)
+    r_idx = order[starts + within]
+    pairs = np.stack([r_pay[r_idx], s_pay[s_idx]], axis=1).astype(np.int32)
+    return pairs[np.lexsort((pairs[:, 1], pairs[:, 0]))]
+
+
+def join_late_materialize_sum(
+    r_keys, r_rowid, s_keys, s_rowid, r_cols: np.ndarray, s_cols: np.ndarray
+) -> int:
+    """Late materialization: payloads are row ids; after a match, gather and
+    sum extra columns (reference join_partitioned_varpayload,
+    src/join-primitives.cu:1420-1557: sums col_num1/col_num2 extra columns).
+
+    r_cols: [n_r, c1], s_cols: [n_s, c2]. Returns int32-wraparound sum of all
+    gathered column values over matches."""
+    order, lo, hi = _match_ranges(r_keys, s_keys)
+    counts = hi - lo
+    m = int(counts.sum())
+    s_idx = np.repeat(np.arange(s_keys.shape[0]), counts)
+    starts = np.repeat(lo, counts)
+    within = np.arange(m) - np.repeat(np.concatenate([[0], np.cumsum(counts)])[:-1], counts)
+    r_idx = order[starts + within]
+    rsel = r_rowid[r_idx]
+    ssel = s_rowid[s_idx]
+    total = np.uint64(0)
+    if r_cols.size:
+        total += np.sum(r_cols[rsel].astype(np.uint32), dtype=np.uint64)
+    if s_cols.size:
+        total += np.sum(s_cols[ssel].astype(np.uint32), dtype=np.uint64)
+    return int(np.uint32(total).view(np.int32))
+
+
+def groupby_aggregate(
+    keys: np.ndarray, vals: np.ndarray, num_groups: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Hash aggregate: per-group COUNT and SUM(vals) (int32 wraparound)."""
+    cnt = np.bincount(keys, minlength=num_groups).astype(np.int32)
+    sums = np.zeros(num_groups, dtype=np.uint64)
+    np.add.at(sums, keys, vals.astype(np.uint32).astype(np.uint64))
+    return cnt, sums.astype(np.uint32).view(np.int32)
+
+
+def filter_rows(keys: np.ndarray, vals: np.ndarray, lo: int, hi: int):
+    """Selection: rows with lo <= key < hi, order-preserving."""
+    m = (keys >= lo) & (keys < hi)
+    return keys[m], vals[m]

@@ -1,0 +1,110 @@
+"""Blocked-compare probe + work planning vs oracle, incl. skew."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icde2019_gpu_join_tpu.ops import probe as probe_ops
+from icde2019_gpu_join_tpu.ops.partition import radix_partition
+from icde2019_gpu_join_tpu.utils import oracle
+from tests.conftest import make_tables
+
+
+def run_probe(rk, rp, sk, sp, bits=6, tile=64):
+    pr = radix_partition(jnp.asarray(rk), jnp.asarray(rp), bits, 0)
+    ps = radix_partition(jnp.asarray(sk), jnp.asarray(sp), bits, 0)
+    plan = probe_ops.plan_probe(
+        np.asarray(pr.counts), np.asarray(pr.offsets[:-1]),
+        np.asarray(ps.counts), np.asarray(ps.offsets[:-1]),
+        tile_r=tile, tile_s=tile, pad_items_to=16,
+    )
+    return pr, ps, plan
+
+
+def test_plan_covers_all_pairs(rng):
+    rk, rp, sk, sp = make_tables(rng, n_r=3000, n_s=9000, dup_build=True)
+    pr, ps, plan = run_probe(rk, rp, sk, sp)
+    # each partition's R/S rows fully tiled
+    cr = np.asarray(pr.counts)
+    cs = np.asarray(ps.counts)
+    expect_items = int(np.sum(
+        np.where((cr > 0) & (cs > 0), (-(-cr // 64)) * (-(-cs // 64)), 0)
+    ))
+    assert plan.num_items == expect_items
+    live = plan.r_len > 0
+    assert np.all(plan.r_len[live] <= 64)
+    assert np.all(plan.s_len[live] <= 64)
+
+
+@pytest.mark.parametrize("dup_build", [False, True])
+def test_blocked_probe_aggregate(rng, dup_build):
+    rk, rp, sk, sp = make_tables(rng, n_r=2000, n_s=6000, dup_build=dup_build)
+    pr, ps, plan = run_probe(rk, rp, sk, sp)
+    got = int(probe_ops.blocked_probe_aggregate(
+        pr.keys, pr.payload, ps.keys, ps.payload, *plan.as_device(),
+        tile_r=64, tile_s=64,
+    ))
+    assert got == oracle.join_aggregate(rk, rp, sk, sp)
+
+
+def test_blocked_probe_count_and_skew(rng):
+    # Zipf-ish heavy hitter: one key dominates S
+    rk = rng.permutation(5000)[:1000].astype(np.int32)
+    sk = rk[np.minimum(rng.zipf(1.3, size=8000) - 1, 999)].astype(np.int32)
+    rp = np.ones(1000, np.int32)
+    sp = np.ones(8000, np.int32)
+    pr, ps, plan = run_probe(rk, rp, sk, sp, bits=4, tile=32)
+    got = int(probe_ops.blocked_probe_count(
+        pr.keys, ps.keys, *plan.as_device(), tile_r=32, tile_s=32,
+    ))
+    assert got == oracle.join_count(rk, sk)
+
+
+def test_blocked_probe_materialize(rng):
+    rk, rp, sk, sp = make_tables(rng, n_r=500, n_s=1500, dup_build=True)
+    pr, ps, plan = run_probe(rk, rp, sk, sp, bits=5, tile=32)
+    dev = plan.as_device()
+    item_counts = probe_ops.blocked_probe_item_counts(
+        pr.keys, ps.keys, *dev, tile_r=32, tile_s=32)
+    base = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(item_counts)[:-1]])
+    total = int(jnp.sum(item_counts))
+    cap = max(total, 1)
+    out_r, out_s = probe_ops.blocked_probe_materialize(
+        pr.keys, pr.payload, ps.keys, ps.payload, *dev, base, cap,
+        tile_r=32, tile_s=32,
+    )
+    expect = oracle.join_materialize(rk, rp, sk, sp)
+    assert total == expect.shape[0]
+    got = np.stack([np.asarray(out_r)[:total], np.asarray(out_s)[:total]], axis=1)
+    got = got[np.lexsort((got[:, 1], got[:, 0]))]
+    assert np.array_equal(got, expect)
+
+
+def test_blocked_probe_late_aggregate(rng):
+    n_r, n_s = 400, 1200
+    rk = rng.permutation(1000)[:n_r].astype(np.int32)
+    sk = rk[rng.randint(0, n_r, size=n_s)].astype(np.int32)
+    r_cols = rng.randint(-100, 100, size=(n_r, 3)).astype(np.int32)
+    s_cols = rng.randint(-100, 100, size=(n_s, 2)).astype(np.int32)
+    r_rowid = np.arange(n_r, dtype=np.int32)
+    s_rowid = np.arange(n_s, dtype=np.int32)
+
+    pr = radix_partition(jnp.asarray(rk), jnp.asarray(r_rowid), 5, 0)
+    ps = radix_partition(jnp.asarray(sk), jnp.asarray(s_rowid), 5, 0)
+    plan = probe_ops.plan_probe(
+        np.asarray(pr.counts), np.asarray(pr.offsets[:-1]),
+        np.asarray(ps.counts), np.asarray(ps.offsets[:-1]),
+        tile_r=32, tile_s=32, pad_items_to=16,
+    )
+    r_colsum = jnp.sum(jnp.asarray(r_cols).astype(jnp.uint32), axis=1)[
+        pr.payload].astype(jnp.int32)
+    s_colsum = jnp.sum(jnp.asarray(s_cols).astype(jnp.uint32), axis=1)[
+        ps.payload].astype(jnp.int32)
+    got = int(probe_ops.blocked_probe_late_aggregate(
+        pr.keys, r_colsum, ps.keys, s_colsum, *plan.as_device(),
+        tile_r=32, tile_s=32,
+    ))
+    expect = oracle.join_late_materialize_sum(
+        rk, r_rowid, sk, s_rowid, r_cols, s_cols)
+    assert got == expect
