@@ -1,0 +1,25 @@
+# Build the native host library (generator / host partitioner / scheduler)
+# and run the test suite. The Python package builds the .so lazily too;
+# this target is for explicit/CI builds.
+
+NATIVE_DIR := icde2019_gpu_join_tpu/datagen/native
+SO := $(NATIVE_DIR)/libtpujoin_host.so
+
+.PHONY: all native test bench clean
+
+all: native
+
+native: $(SO)
+
+$(SO): $(NATIVE_DIR)/host_engine.cpp
+	g++ -O3 -shared -fPIC -fopenmp -mavx2 -o $@ $< || \
+	g++ -O3 -shared -fPIC -fopenmp -o $@ $<
+
+test: native
+	python -m pytest tests/ -x -q
+
+bench: native
+	python bench.py
+
+clean:
+	rm -f $(SO)

@@ -86,6 +86,12 @@ class ClusteredJoin:
             )
         return pr, ps, plan
 
+    def _use_pallas(self) -> bool:
+        mode = self.config.probe_mode
+        if mode == "pallas":
+            return True
+        return mode == "auto" and jax.default_backend() != "cpu"
+
     def aggregate(self, r: Relation, s: Relation) -> JoinResult:
         """SUM(Pr*Ps) over matches, int32 wraparound."""
         cfg = self.config
@@ -96,6 +102,8 @@ class ClusteredJoin:
                 agg = sort_merge_aggregate(r.keys, r.payload, s.keys, s.payload)
                 out["result"] = agg
             return JoinResult(aggregate=int(agg), timer=timer)
+        if self._use_pallas():
+            return self._aggregate_pallas(r, s, timer)
 
         pr, ps, plan = self._partition_and_plan(r, s, timer)
         dev_plan = plan.as_device()
@@ -104,6 +112,40 @@ class ClusteredJoin:
             agg = probe_ops.blocked_probe_aggregate(
                 pr.keys, pr.payload, ps.keys, ps.payload, *dev_plan,
                 tile_r=plan.tile_r, tile_s=plan.tile_s,
+            )
+            out["result"] = agg
+        return JoinResult(aggregate=int(agg), timer=timer)
+
+    def _aggregate_pallas(self, r: Relation, s: Relation,
+                          timer: PhaseTimer) -> JoinResult:
+        """Hot path: Pallas clustered-probe kernel over stream ranges
+        (ops/probe_pallas.py). Planning is O(num R tiles) numpy."""
+        from icde2019_gpu_join_tpu.ops import probe_pallas as pp
+
+        cfg = self.config
+        bits = self._bits(r.num_rows, s.num_rows)
+        tile_r = max(1024, cfg.probe_tile_r)
+        tile_s = max(1024, cfg.probe_tile_s)
+        nbytes = 8 * (r.num_rows + s.num_rows)
+        with timer.phase("partition", bytes_moved=2 * nbytes,
+                         rows=r.num_rows + s.num_rows) as out:
+            pr, ps = _partition_pair(
+                r.keys, r.payload, s.keys, s.payload, bits, cfg.radix.first_bit
+            )
+            out["result"] = (pr.keys, ps.keys)
+        with timer.phase("plan"):
+            s_start, s_nch = pp.plan_ranges(
+                np.asarray(pr.offsets), np.asarray(ps.offsets),
+                r.num_rows, tile_r, tile_s,
+            )
+        with timer.phase("join", bytes_moved=nbytes,
+                         rows=r.num_rows + s.num_rows) as out:
+            rk, rp_ = pp.pad_for_probe(pr.keys, pr.payload, tile_r)
+            sk, sp_ = pp.pad_for_probe(ps.keys, ps.payload, tile_s)
+            agg = pp.probe_aggregate_ranges(
+                rk, rp_, sk, sp_,
+                jnp.asarray(s_start), jnp.asarray(s_nch),
+                tile_r=tile_r, tile_s=tile_s,
             )
             out["result"] = agg
         return JoinResult(aggregate=int(agg), timer=timer)

@@ -1,0 +1,60 @@
+"""Fused filter -> probe -> group-by pipeline vs oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from icde2019_gpu_join_tpu.models.pipelines import (
+    filter_groupby,
+    filter_probe_groupby,
+)
+from icde2019_gpu_join_tpu.utils import oracle
+
+
+def test_filter_probe_groupby(rng):
+    n_r, n_s, G = 1000, 8000, 16
+    rk = rng.permutation(3000)[:n_r].astype(np.int32)
+    rp = rng.randint(-(2**31), 2**31, n_r).astype(np.int64).astype(np.int32)
+    sk = rk[rng.randint(0, n_r, n_s)].astype(np.int32)
+    # make some S rows miss
+    miss = rng.randint(0, n_s, n_s // 5)
+    sk[miss] = (rng.randint(0, 3000, miss.shape[0]) + 5000).astype(np.int32)
+    fcol = rng.randint(0, 100, n_s).astype(np.int32)
+    gid = rng.randint(0, G, n_s).astype(np.int32)
+    lo, hi = 20, 70
+
+    counts, sums = filter_probe_groupby(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk),
+        jnp.asarray(fcol), jnp.asarray(gid),
+        jnp.int32(lo), jnp.int32(hi), G,
+    )
+
+    # numpy oracle
+    keep = (fcol >= lo) & (fcol < hi)
+    r_sorted = np.argsort(rk)
+    pos = np.searchsorted(rk[r_sorted], sk)
+    pos_c = np.minimum(pos, n_r - 1)
+    hit = rk[r_sorted][pos_c] == sk
+    live = keep & hit
+    exp_counts = np.bincount(gid[live], minlength=G)
+    vals = rp[r_sorted][pos_c].astype(np.uint32)
+    exp_sums = np.zeros(G, np.uint64)
+    np.add.at(exp_sums, gid[live], vals[live].astype(np.uint64))
+    assert np.array_equal(np.asarray(counts), exp_counts.astype(np.int32))
+    assert np.array_equal(np.asarray(sums),
+                          exp_sums.astype(np.uint32).view(np.int32))
+
+
+def test_filter_groupby(rng):
+    n, G = 5000, 8
+    keys = rng.randint(0, 1000, n).astype(np.int32)
+    vals = rng.randint(-100, 100, n).astype(np.int32)
+    gid = rng.randint(0, G, n).astype(np.int32)
+    counts, sums = filter_groupby(
+        jnp.asarray(keys), jnp.asarray(vals), jnp.asarray(gid),
+        jnp.int32(100), jnp.int32(900), G)
+    keep = (keys >= 100) & (keys < 900)
+    exp_c = np.bincount(gid[keep], minlength=G)
+    exp_s = np.zeros(G, np.int64)
+    np.add.at(exp_s, gid[keep], vals[keep])
+    assert np.array_equal(np.asarray(counts), exp_c.astype(np.int32))
+    assert np.array_equal(np.asarray(sums), (exp_s & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
