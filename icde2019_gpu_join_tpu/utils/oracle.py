@@ -30,12 +30,25 @@ def partition_ids(keys: np.ndarray, total_bits: int, first_bit: int) -> np.ndarr
     return ((u >> np.uint32(first_bit)) & np.uint32((1 << total_bits) - 1)).astype(np.int64)
 
 
+def rotate_keys(keys: np.ndarray, total_bits: int, first_bit: int) -> np.ndarray:
+    """Bijective packing: rotr(uint32(key), first_bit+total_bits) — the radix
+    field lands in the top bits (mirrors ops/bits.rotate_keys, minus the sign
+    flip: numpy compares unsigned directly)."""
+    s = (first_bit + total_bits) % 32
+    u = keys.view(np.uint32) if keys.dtype == np.int32 else keys.astype(np.uint32)
+    if s:
+        u = (u >> np.uint32(s)) | (u << np.uint32(32 - s))
+    return u
+
+
 def radix_partition(
     keys: np.ndarray, payload: np.ndarray, total_bits: int, first_bit: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Stable CSR partition: returns (keys', payload', counts, offsets)."""
+    """CSR partition in the engine's canonical layout: rows ordered by the
+    rotated key (grouped by partition, key-sorted within for first_bit=0;
+    ties keep arrival order). Returns (keys', payload', counts, offsets)."""
     p = partition_ids(keys, total_bits, first_bit)
-    order = np.argsort(p, kind="stable")
+    order = np.argsort(rotate_keys(keys, total_bits, first_bit), kind="stable")
     counts = np.bincount(p, minlength=1 << total_bits).astype(np.int64)
     offsets = np.concatenate([[0], np.cumsum(counts)])
     return keys[order], payload[order], counts, offsets
