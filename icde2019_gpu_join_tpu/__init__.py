@@ -15,6 +15,22 @@ partitioning into a dense CSR layout, and the shared-memory hash-table probe
 "clustered probe" over small radix partitions.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the Pallas kernels (bitonic networks) take
+# 20-120s to compile via the remote TPU compiler; cache across processes.
+_cache_dir = _os.environ.get(
+    "TPUJOIN_COMPILE_CACHE", _os.path.expanduser("~/.cache/tpujoin-xla")
+)
+if _cache_dir and _cache_dir != "0":
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knob: non-fatal
+        pass
+
 from icde2019_gpu_join_tpu.config import RadixConfig, EngineConfig
 from icde2019_gpu_join_tpu.relation import Relation, PartitionedRelation
 

@@ -95,8 +95,13 @@ class EngineConfig:
     # reference src/join-primitives.cu:843-874).
     max_tiles_per_item: int = 1
 
-    # Probe strategy: "auto" | "blocked" | "sort_merge" | "perfect".
+    # Probe strategy: "auto" | "banded" | "blocked" | "pallas" |
+    # "sort_merge" | "perfect". "auto" resolves to the banded sort-merge
+    # probe (ops/band_join.py) — the fastest path on TPU and CPU.
     probe_mode: str = "auto"
+
+    # Banded probe: R-blocks (x128 rows) gathered per round per S block.
+    band_window_blocks: int = 4
 
     # Streaming: probe-side segment size in rows (Join3 analog,
     # reference src/hash_join_clustered_probe.cu:1017: min(CHUNK_SIZE, n/4)).

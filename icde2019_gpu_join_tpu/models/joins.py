@@ -96,6 +96,8 @@ class ClusteredJoin:
         """SUM(Pr*Ps) over matches, int32 wraparound."""
         cfg = self.config
         timer = PhaseTimer()
+        if cfg.probe_mode in ("auto", "banded"):
+            return self._aggregate_banded(r, s, timer)
         if cfg.probe_mode == "sort_merge":
             with timer.phase("join", bytes_moved=8 * (r.num_rows + s.num_rows),
                              rows=r.num_rows + s.num_rows) as out:
@@ -112,6 +114,22 @@ class ClusteredJoin:
             agg = probe_ops.blocked_probe_aggregate(
                 pr.keys, pr.payload, ps.keys, ps.payload, *dev_plan,
                 tile_r=plan.tile_r, tile_s=plan.tile_s,
+            )
+            out["result"] = agg
+        return JoinResult(aggregate=int(agg), timer=timer)
+
+    def _aggregate_banded(self, r: Relation, s: Relation,
+                          timer: PhaseTimer) -> JoinResult:
+        """Hot path: banded sort-merge probe (ops/band_join.py) — sort both
+        sides by rotated key (identical layout to the radix partition) and
+        join with exact block-windowed gathers. One jit, no host planning."""
+        from icde2019_gpu_join_tpu.ops.band_join import banded_join_aggregate
+
+        nrows = r.num_rows + s.num_rows
+        with timer.phase("join", bytes_moved=8 * nrows, rows=nrows) as out:
+            agg = banded_join_aggregate(
+                r.keys, r.payload, s.keys, s.payload,
+                window_blocks=self.config.band_window_blocks,
             )
             out["result"] = agg
         return JoinResult(aggregate=int(agg), timer=timer)
@@ -152,6 +170,16 @@ class ClusteredJoin:
 
     def count(self, r: Relation, s: Relation) -> JoinResult:
         timer = PhaseTimer()
+        if self.config.probe_mode in ("auto", "banded"):
+            from icde2019_gpu_join_tpu.ops.band_join import banded_join_count
+
+            with timer.phase("join") as out:
+                c = banded_join_count(
+                    r.keys, s.keys,
+                    window_blocks=self.config.band_window_blocks,
+                )
+                out["result"] = c
+            return JoinResult(count=int(np.uint32(np.int64(int(c)))), timer=timer)
         if self.config.probe_mode == "sort_merge":
             with timer.phase("join") as out:
                 c = sort_merge_count(r.keys, s.keys)

@@ -1,0 +1,88 @@
+"""Banded sort-merge probe (ops/band_join.py) vs the numpy oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icde2019_gpu_join_tpu.ops.band_join import (
+    banded_join_aggregate,
+    banded_join_count,
+    block_windows,
+    sort_by_key,
+)
+from icde2019_gpu_join_tpu.utils import oracle
+from tests.conftest import make_tables
+
+
+def _agg(rk, rp, sk, sp, w=4):
+    return int(banded_join_aggregate(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        window_blocks=w,
+    ))
+
+
+@pytest.mark.parametrize("w", [1, 2, 4])
+def test_banded_aggregate_pkfk(rng, w):
+    rk, rp, sk, sp = make_tables(rng)
+    assert _agg(rk, rp, sk, sp, w) == oracle.join_aggregate(rk, rp, sk, sp)
+
+
+def test_banded_aggregate_duplicates(rng):
+    rk = rng.randint(0, 500, 4000).astype(np.int32)
+    sk = rng.randint(0, 500, 6000).astype(np.int32)
+    rp = rng.randint(-100, 100, rk.size).astype(np.int32)
+    sp = rng.randint(-100, 100, sk.size).astype(np.int32)
+    assert _agg(rk, rp, sk, sp) == oracle.join_aggregate(rk, rp, sk, sp)
+
+
+def test_banded_aggregate_heavy_skew(rng):
+    # one key holds ~half of S: windows widen -> multi-round path
+    rk = rng.permutation(2000).astype(np.int32)
+    sk = np.concatenate([
+        np.full(5000, 7, np.int32),
+        rng.randint(0, 2000, 5000).astype(np.int32),
+    ])
+    rng.shuffle(sk)
+    rp = rng.randint(-10, 10, rk.size).astype(np.int32)
+    sp = rng.randint(-10, 10, sk.size).astype(np.int32)
+    assert _agg(rk, rp, sk, sp, w=2) == oracle.join_aggregate(rk, rp, sk, sp)
+
+
+def test_banded_aggregate_no_matches(rng):
+    rk = np.arange(1000, dtype=np.int32)
+    sk = np.arange(5000, 9000, dtype=np.int32)
+    rp = np.ones_like(rk)
+    sp = np.ones_like(sk)
+    assert _agg(rk, rp, sk, sp) == 0
+
+
+def test_banded_aggregate_wraparound(rng):
+    rk = np.zeros(100, np.int32)
+    sk = np.zeros(100, np.int32)
+    rp = np.full(100, 2**20, np.int32)
+    sp = np.full(100, 2**20, np.int32)
+    # 10^4 matches of 2^40 each: wraps int32
+    assert _agg(rk, rp, sk, sp) == oracle.join_aggregate(rk, rp, sk, sp)
+
+
+def test_banded_count(rng):
+    rk, _, sk, _ = make_tables(rng, dup_build=True)
+    got = int(banded_join_count(jnp.asarray(rk), jnp.asarray(sk)))
+    assert got == oracle.join_count(rk, sk)
+
+
+def test_block_windows_cover_all_matches(rng):
+    rk = rng.randint(0, 300, 2000).astype(np.int32)
+    sk = rng.randint(0, 300, 3000).astype(np.int32)
+    r_sv, _ = sort_by_key(jnp.asarray(rk), jnp.zeros_like(jnp.asarray(rk)))
+    s_sv, _ = sort_by_key(jnp.asarray(sk), jnp.zeros_like(jnp.asarray(sk)))
+    lo, hi = block_windows(r_sv, s_sv)
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    rs, ss = np.asarray(r_sv), np.asarray(s_sv)
+    nrb = rs.size // 128
+    for b in range(ss.size // 128):
+        blk = ss[b * 128:(b + 1) * 128]
+        for j in range(nrb):
+            rblk = rs[j * 128:(j + 1) * 128]
+            if np.intersect1d(blk, rblk).size:
+                assert lo[b] <= j < hi[b], (b, j, lo[b], hi[b])
