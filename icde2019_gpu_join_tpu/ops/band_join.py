@@ -113,54 +113,103 @@ def block_windows(r_sv: jnp.ndarray, s_sv: jnp.ndarray) -> Tuple[jnp.ndarray, jn
     return lo, jnp.maximum(hi, lo)
 
 
+# S blocks processed per inner chunk (static shape; 2048 blocks = 256K rows)
+_CHUNK_BLOCKS = 2048
+
+
 @functools.partial(jax.jit, static_argnames=("window_blocks", "mode"))
 def banded_probe(
     r_sv: jnp.ndarray, r_pay: jnp.ndarray,
     s_sv: jnp.ndarray, s_pay: jnp.ndarray,
     window_blocks: int = 4,
-    mode: str = "mul",   # "mul": SUM(Pr*Ps); "add": SUM(Pr+Ps); "count"
+    mode: str = "mul",   # "mul": SUM(Pr*Ps); "add": SUM(Pr+Ps)
 ) -> jnp.ndarray:
     """Aggregate join over sv-sorted 128-padded inputs. Returns int32 scalar
-    (uint32 wraparound accumulation, the reference's semantics)."""
+    (uint32 wraparound accumulation, the reference's semantics).
+
+    Skew-robust scheduling: S blocks are sorted by window width (descending)
+    and round r processes only the prefix of blocks whose window still has
+    uncovered R-blocks, in _CHUNK_BLOCKS-sized dynamic slices. Total compare
+    work is proportional to the true match volume (sum of window widths),
+    not max-width x all-blocks — the decompose_chains + knapsack-batching
+    analog (src/join-primitives.cu:843-874, partition-primitives.cu:307-469)
+    done as dense scheduling instead of work-item lists."""
     W = window_blocks
+    CH = _CHUNK_BLOCKS
     nrb = r_sv.shape[0] // _BLK
     lo, hi = block_windows(r_sv, s_sv)
-    max_rounds = jnp.max((hi - lo + (W - 1)) // W)
+    nrounds = (hi - lo + (W - 1)) // W
+
+    nsb = s_sv.shape[0] // _BLK
+    bid = jnp.arange(nsb, dtype=jnp.int32)
+    neg_rounds, lo_s, hi_s, bid_s = jax.lax.sort(
+        (-nrounds, lo, hi, bid), num_keys=1, is_stable=False
+    )
+    rounds_s = -neg_rounds  # descending
+
+    # pad descriptor arrays to a CH multiple so dynamic slices stay in bounds
+    pad = (-nsb) % CH
+    if pad:
+        z = jnp.zeros((pad,), jnp.int32)
+        rounds_s = jnp.concatenate([rounds_s, z])
+        lo_s = jnp.concatenate([lo_s, z])
+        hi_s = jnp.concatenate([hi_s, z])
+        bid_s = jnp.concatenate([bid_s, z])
 
     r_svb = r_sv.reshape(-1, _BLK)
     r_payb = r_pay.reshape(-1, _BLK)
     s_svb = s_sv.reshape(-1, _BLK)
-    s_payb = s_pay.reshape(-1, _BLK).astype(jnp.uint32)
+    s_payb = s_pay.reshape(-1, _BLK)
 
-    def round_contrib(r, acc):
-        # gather W R-blocks per S block, mask those beyond the window
-        base = lo + r * W
-        bidx = base[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-        valid = bidx < hi[:, None]
+    warr = jnp.arange(W, dtype=jnp.int32)
+
+    def chunk_contrib(r, c, cnt):
+        start = c * CH
+        ids = jax.lax.dynamic_slice(bid_s, (start,), (CH,))
+        los = jax.lax.dynamic_slice(lo_s, (start,), (CH,))
+        his = jax.lax.dynamic_slice(hi_s, (start,), (CH,))
+        active = (start + jnp.arange(CH, dtype=jnp.int32)) < cnt
+
+        sk = jnp.take(s_svb, ids, axis=0)                    # [CH, 128]
+        sp = jnp.take(s_payb, ids, axis=0).astype(jnp.uint32)
+
+        base = los + r * W
+        bidx = base[:, None] + warr[None, :]                 # [CH, W]
+        valid = (bidx < his[:, None]) & active[:, None]
         bidx = jnp.clip(bidx, 0, nrb - 1)
-        rk = jnp.take(r_svb, bidx.reshape(-1), axis=0)      # [B*W, 128]
-        rp = jnp.take(r_payb, bidx.reshape(-1), axis=0)
-        B = s_svb.shape[0]
-        rk = rk.reshape(B, W * _BLK)
-        rp = rp.reshape(B, W * _BLK).astype(jnp.uint32)
-        vmask = jnp.repeat(valid, _BLK, axis=1)             # [B, W*128]
-        eq = (s_svb[:, :, None] == rk[:, None, :]) & vmask[:, None, :]
-        if mode == "count":
-            per_s = jnp.sum(eq.astype(jnp.uint32), axis=2)
-            contrib = jnp.sum(per_s)
-        elif mode == "add":
-            both = s_payb[:, :, None] + rp[:, None, :]
-            contrib = jnp.sum(jnp.where(eq, both, jnp.uint32(0)),
-                              dtype=jnp.uint32)
-        else:
-            per_s = jnp.sum(
-                jnp.where(eq, rp[:, None, :], jnp.uint32(0)), axis=2,
-                dtype=jnp.uint32,
-            )
-            contrib = jnp.sum(per_s * s_payb, dtype=jnp.uint32)
-        return acc + contrib
+        rk = jnp.take(r_svb, bidx.reshape(-1), axis=0).reshape(CH, W * _BLK)
+        rp = jnp.take(r_payb, bidx.reshape(-1), axis=0).reshape(
+            CH, W * _BLK).astype(jnp.uint32)
+        vmask = jnp.repeat(valid, _BLK, axis=1)              # [CH, W*128]
+        eq = (sk[:, :, None] == rk[:, None, :]) & vmask[:, None, :]
+        if mode == "add":
+            both = sp[:, :, None] + rp[:, None, :]
+            return jnp.sum(jnp.where(eq, both, jnp.uint32(0)),
+                           dtype=jnp.uint32)
+        per_s = jnp.sum(
+            jnp.where(eq, rp[:, None, :], jnp.uint32(0)), axis=2,
+            dtype=jnp.uint32,
+        )
+        return jnp.sum(per_s * sp, dtype=jnp.uint32)
 
-    total = jax.lax.fori_loop(0, max_rounds, round_contrib, jnp.uint32(0))
+    def round_body(state):
+        r, acc = state
+        cnt = jnp.sum((rounds_s > r).astype(jnp.int32))  # active prefix len
+        nch = (cnt + CH - 1) // CH
+
+        def inner(c, acc):
+            return acc + chunk_contrib(r, c, cnt)
+
+        acc = jax.lax.fori_loop(0, nch, inner, acc)
+        return r + 1, acc
+
+    def round_cond(state):
+        r, _ = state
+        return jnp.sum((rounds_s > r).astype(jnp.int32)) > 0
+
+    _, total = jax.lax.while_loop(
+        round_cond, round_body, (jnp.int32(0), jnp.uint32(0))
+    )
     return total.astype(jnp.int32)
 
 
