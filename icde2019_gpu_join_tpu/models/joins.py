@@ -226,6 +226,26 @@ class ClusteredJoin:
         gathered post-match and summed (outOfGPU_Join_payload_var analog,
         src/hash_join_clustered_probe.cu:542-708)."""
         timer = PhaseTimer()
+        if self.config.probe_mode in ("auto", "banded"):
+            from icde2019_gpu_join_tpu.ops.band_join import (
+                banded_join_late_aggregate,
+            )
+
+            with timer.phase("join") as out:
+                # Row-id payloads -> per-row wide-column sums aligned with
+                # the key order; the banded probe sums (Rc + Sc) on matches.
+                r_colsum = jnp.sum(
+                    r_cols.astype(jnp.uint32), axis=1
+                )[r.payload].astype(jnp.int32) if r_cols.size else jnp.zeros_like(r.payload)
+                s_colsum = jnp.sum(
+                    s_cols.astype(jnp.uint32), axis=1
+                )[s.payload].astype(jnp.int32) if s_cols.size else jnp.zeros_like(s.payload)
+                agg = banded_join_late_aggregate(
+                    r.keys, r_colsum, s.keys, s_colsum,
+                    window_blocks=self.config.band_window_blocks,
+                )
+                out["result"] = agg
+            return JoinResult(aggregate=int(agg), timer=timer)
         pr, ps, plan = self._partition_and_plan(r, s, timer)
         with timer.phase("join") as out:
             # Row-id payloads -> per-row wide-column sums, aligned to the

@@ -1,36 +1,45 @@
 """Streaming-probe join: build side resident, probe side streamed from host.
 
 Analog of outOfGPU_Join3_payload (reference
-src/hash_join_clustered_probe.cu:1684-1984): R is partitioned once and stays
+src/hash_join_clustered_probe.cu:1684-1984): R is sorted once and stays
 device-resident; S lives in host memory and is cut into segments
 (S_segment_size = min(CHUNK_SIZE, n/4), :1697) that flow through a
-double-buffered H2D -> partition -> probe pipeline. The reference builds the
-overlap with 3 CUDA streams + events; here JAX's async dispatch provides it:
-the next segment's device_put is issued before the current segment's probe
-is consumed, so transfer (k+1) overlaps compute (k).
+double-buffered H2D -> sort -> banded-probe pipeline. The reference builds
+the overlap with 3 CUDA streams + events; here JAX's async dispatch provides
+it: the next segment's device_put is issued before the current segment's
+probe is consumed, so transfer (k+1) overlaps compute (k).
+
+Segment results accumulate on device (int32/uint32 wraparound is associative
+and commutative, so segmentation does not change the aggregate — the same
+argument the reference relies on for its per-segment atomicAdds).
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from icde2019_gpu_join_tpu.config import EngineConfig, default_bits_for
-from icde2019_gpu_join_tpu.models.joins import JoinResult, _partition_pair
-from icde2019_gpu_join_tpu.ops import probe as probe_ops
-from icde2019_gpu_join_tpu.ops.partition import radix_partition
+from icde2019_gpu_join_tpu.config import EngineConfig
+from icde2019_gpu_join_tpu.models.joins import JoinResult
+from icde2019_gpu_join_tpu.ops.band_join import banded_probe, sort_by_key
 from icde2019_gpu_join_tpu.relation import Relation
 from icde2019_gpu_join_tpu.utils.timing import PhaseTimer
 
-from functools import partial
+
+@jax.jit
+def _sort_side(keys, pay):
+    return sort_by_key(keys, pay)
 
 
-@partial(jax.jit, static_argnames=("total_bits", "first_bit"))
-def _partition_one(keys, pay, total_bits, first_bit):
-    return radix_partition(keys, pay, total_bits, first_bit)
+@partial(jax.jit, static_argnames=("window_blocks",))
+def _segment_probe(r_sv, r_p, s_keys, s_pay, total, window_blocks):
+    s_sv, s_p = sort_by_key(s_keys, s_pay)
+    agg = banded_probe(r_sv, r_p, s_sv, s_p, window_blocks, "mul")
+    return total + agg.astype(jnp.uint32)
 
 
 def streaming_join_aggregate(
@@ -42,24 +51,25 @@ def streaming_join_aggregate(
     timer = PhaseTimer()
     n_s = s.num_rows
     seg = config.segment_rows or max(1, min(1 << 27, -(-n_s // 4)))
-    bits = default_bits_for(max(r.num_rows, seg), config.probe_tile_r)
-    fb = config.radix.first_bit
+    W = config.band_window_blocks
 
-    with timer.phase("partition_build", bytes_moved=16 * r.num_rows,
+    with timer.phase("build_sort", bytes_moved=16 * r.num_rows,
                      rows=r.num_rows) as out:
-        pr = _partition_one(jnp.asarray(r.keys), jnp.asarray(r.payload), bits, fb)
-        out["result"] = pr.keys
-    counts_r = np.asarray(pr.counts)
-    offs_r = np.asarray(pr.offsets[:-1])
+        r_sv, r_p = _sort_side(jnp.asarray(r.keys), jnp.asarray(r.payload))
+        out["result"] = r_sv
 
-    s_keys_host = s.keys
-    s_pay_host = s.payload
+    s_keys_host = np.asarray(s.keys)
+    s_pay_host = np.asarray(s.payload)
 
     def put(lo, hi):
-        return (
-            jax.device_put(s_keys_host[lo:hi]),
-            jax.device_put(s_pay_host[lo:hi]),
-        )
+        """Host-pad short tails to the full segment size (sentinel key -1,
+        payload 0 contributes nothing) so every segment hits one jit cache."""
+        sk = s_keys_host[lo:hi]
+        sp = s_pay_host[lo:hi]
+        if hi - lo < seg:
+            sk = np.concatenate([sk, np.full(seg - (hi - lo), -1, np.int32)])
+            sp = np.concatenate([sp, np.zeros(seg - (hi - lo), np.int32)])
+        return jax.device_put(sk), jax.device_put(sp)
 
     total = jnp.uint32(0)
     starts = list(range(0, n_s, seg))
@@ -73,17 +83,6 @@ def streaming_join_aggregate(
             nlo = starts[i + 1]
             next_buf = put(nlo, min(nlo + seg, n_s))
         with timer.phase("segment", bytes_moved=16 * (hi - lo), rows=hi - lo) as out:
-            ps = _partition_one(sk, sp, bits, fb)
-            counts_s = np.asarray(ps.counts)
-            offs_s = np.asarray(ps.offsets[:-1])
-            plan = probe_ops.plan_probe(
-                counts_r, offs_r, counts_s, offs_s,
-                config.probe_tile_r, config.probe_tile_s,
-            )
-            agg = probe_ops.blocked_probe_aggregate(
-                pr.keys, pr.payload, ps.keys, ps.payload, *plan.as_device(),
-                tile_r=plan.tile_r, tile_s=plan.tile_s,
-            )
-            total = total + agg.astype(jnp.uint32)
-            out["result"] = agg
+            total = _segment_probe(r_sv, r_p, sk, sp, total, W)
+            out["result"] = total
     return JoinResult(aggregate=int(jnp.asarray(total).astype(jnp.int32)), timer=timer)

@@ -135,7 +135,10 @@ def banded_probe(
     analog (src/join-primitives.cu:843-874, partition-primitives.cu:307-469)
     done as dense scheduling instead of work-item lists."""
     W = window_blocks
-    CH = _CHUNK_BLOCKS
+    nsb_in = s_sv.shape[0] // _BLK
+    # chunk size adapts to the input so tiny relations don't pay for a full
+    # 2048-block chunk per round (shapes are static at trace time)
+    CH = min(_CHUNK_BLOCKS, 1 << max(3, (nsb_in - 1).bit_length()))
     nrb = r_sv.shape[0] // _BLK
     lo, hi = block_windows(r_sv, s_sv)
     nrounds = (hi - lo + (W - 1)) // W
@@ -207,9 +210,11 @@ def banded_probe(
         r, _ = state
         return jnp.sum((rounds_s > r).astype(jnp.int32)) > 0
 
-    _, total = jax.lax.while_loop(
-        round_cond, round_body, (jnp.int32(0), jnp.uint32(0))
-    )
+    # Initial carries derived from the (possibly shard_map-varying) inputs so
+    # the loop carry types match inside manual-sharding regions.
+    acc0 = (rounds_s[0] * 0).astype(jnp.uint32)
+    r0 = rounds_s[0] * 0
+    _, total = jax.lax.while_loop(round_cond, round_body, (r0, acc0))
     return total.astype(jnp.int32)
 
 
@@ -223,6 +228,18 @@ def banded_join_aggregate(
     r_sv, r_p = sort_by_key(r_keys, r_pay)
     s_sv, s_p = sort_by_key(s_keys, s_pay)
     return banded_probe(r_sv, r_p, s_sv, s_p, window_blocks, "mul")
+
+
+@functools.partial(jax.jit, static_argnames=("window_blocks",))
+def banded_join_late_aggregate(
+    r_keys, r_colsum, s_keys, s_colsum, window_blocks: int = 4
+) -> jnp.ndarray:
+    """Late-materialization aggregate: SUM over matches of (Rcolsum +
+    Scolsum), int32 wraparound (join_partitioned_varpayload analog,
+    src/join-primitives.cu:1420-1557). Requires keys != -1 (sentinel)."""
+    r_sv, r_c = sort_by_key(r_keys, r_colsum)
+    s_sv, s_c = sort_by_key(s_keys, s_colsum)
+    return banded_probe(r_sv, r_c, s_sv, s_c, window_blocks, "add")
 
 
 @functools.partial(jax.jit, static_argnames=("window_blocks",))

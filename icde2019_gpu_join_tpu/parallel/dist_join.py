@@ -14,9 +14,8 @@ template — host partitions <-> chip shards, PCIe streams <-> ICI collectives):
   5. psum produces the global aggregate (int32 wraparound is associative &
      commutative, so sharding does not change the result).
 
-The local join inside shard_map is the fully-static sort-merge engine; the
-host-planned blocked probe stays a single-chip specialization (its work plan
-is data-dependent). Overflow counts from the padded exchange are psum'd and
+The local join inside shard_map is the banded sort-merge engine
+(ops/band_join.py) — fully jittable, skew-robust, no host planning. Overflow counts from the padded exchange are psum'd and
 returned so callers can assert slack sufficiency outside jit.
 """
 
@@ -29,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from icde2019_gpu_join_tpu.ops.join_sorted import sort_merge_aggregate
+from icde2019_gpu_join_tpu.ops.band_join import banded_join_aggregate
 from icde2019_gpu_join_tpu.parallel.exchange import (
     all_to_all_exchange,
     partition_to_buckets,
@@ -42,7 +41,7 @@ def _local_join_after_exchange(rk, rp, sk, sp, axis: str, first_bit: int, cap_r:
     bk_s, bp_s, ov_s = partition_to_buckets(sk, sp, nd, cap_s, first_bit)
     gk_r, gp_r = all_to_all_exchange(bk_r, bp_r, axis)
     gk_s, gp_s = all_to_all_exchange(bk_s, bp_s, axis)
-    agg = sort_merge_aggregate(
+    agg = banded_join_aggregate(
         gk_r.reshape(-1), gp_r.reshape(-1), gk_s.reshape(-1), gp_s.reshape(-1)
     )
     agg = jax.lax.psum(agg.astype(jnp.uint32), axis).astype(jnp.int32)
@@ -105,7 +104,7 @@ def _two_level_local(rk, rp, sk, sp, host_axis, chip_axis, first_bit, caps):
     gk_r, gp_r = all_to_all_exchange(bk_r, bp_r, chip_axis)
     gk_s, gp_s = all_to_all_exchange(bk_s, bp_s, chip_axis)
 
-    agg = sort_merge_aggregate(
+    agg = banded_join_aggregate(
         gk_r.reshape(-1), gp_r.reshape(-1), gk_s.reshape(-1), gp_s.reshape(-1))
     agg = jax.lax.psum(
         jax.lax.psum(agg.astype(jnp.uint32), chip_axis), host_axis
