@@ -101,7 +101,7 @@ class EngineConfig:
     probe_mode: str = "auto"
 
     # Banded probe: R-blocks (x128 rows) gathered per round per S block.
-    band_window_blocks: int = 4
+    band_window_blocks: int = 2
 
     # Streaming: probe-side segment size in rows (Join3 analog,
     # reference src/hash_join_clustered_probe.cu:1017: min(CHUNK_SIZE, n/4)).

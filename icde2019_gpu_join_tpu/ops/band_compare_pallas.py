@@ -1,0 +1,118 @@
+"""Pallas TPU kernels for the banded-probe inner compare.
+
+Computes, over one gathered chunk,
+
+    acc = SUM_{i,l,j} [sk[i,l] == rk[i,j]] * sp[i,l] * rp[i,j]   (mod 2^32)
+
+i.e. the fused compare x multiply x reduce at the heart of the banded
+sort-merge probe (ops/band_join.py). The XLA formulation of this broadcast
+compare runs ~13x below VPU speed (it fuses the [CH, 128, W*128] equality
+tensor poorly); these kernels loop over the 128 S lanes with fully-2D
+compares — Mosaic vectorizes 2D broadcasts completely.
+
+Layout: everything arrives TRANSPOSED — the chunk dimension CH rides the
+128-lane axis and the S-lane / window axes ride sublanes. Extracting "S
+column l" is then a dynamic SUBLANE slice (cheap vector op); the [WB, CH]
+compare broadcasts a [1, CH] row across sublanes. Three designs that do NOT
+work on the remote Mosaic compiler: python-unrolled lane loops (~10 min
+compiles), dynamic lane indexing (not lowerable), dynamic pltpu.roll column
+extraction (lowered painfully slowly).
+
+All arithmetic is int32: Mosaic has no unsigned reductions, and int32
+two's-complement wraparound is bit-identical to uint32 mod 2^32 (the
+reference's aggregate semantics, src/join-primitives.cu:1052-1092).
+
+Replaces the reference's shared-memory hash-table walk as the per-pair
+match engine (join_partitioned_aggregate, src/join-primitives.cu:1052-1087).
+
+Caller contract: invalid R rows (beyond a window) must carry rp == 0 and a
+sentinel key that matches nothing real.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _compare_sum_kernel(skt_ref, spt_ref, rkt_ref, rpt_ref, out_ref, *, lanes):
+    rkt = rkt_ref[:]              # [WB, CH]
+    rpt = rpt_ref[:]
+
+    def body(l, acc):
+        skc = skt_ref[pl.ds(l, 1), :]             # [1, CH] dyn sublane slice
+        spc = spt_ref[pl.ds(l, 1), :]
+        eq = skc == rkt                           # [WB, CH] 2D broadcast
+        t = jnp.sum(jnp.where(eq, rpt, 0), axis=0, keepdims=True)  # [1, CH]
+        return acc + t * spc
+
+    acc = jax.lax.fori_loop(
+        0, lanes, body, jnp.zeros((1, rkt.shape[1]), jnp.int32)
+    )
+    out_ref[:] = jnp.sum(acc).reshape(1, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def banded_compare_sum(sk, sp, rk, rp, interpret: bool = False):
+    """SUM over (i, l, j) of [sk==rk]*sp*rp for one chunk.
+
+    sk/sp: [CH, 128] int32; rk/rp: [CH, WB] int32 (WB = window_blocks*128).
+    Returns an int32 scalar (wraparound; bit-identical to uint32 mod 2^32).
+    """
+    ch, lanes = sk.shape
+    out = pl.pallas_call(
+        functools.partial(_compare_sum_kernel, lanes=lanes),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(sk.T, sp.T, rk.T, rp.T)
+    return out[0, 0]
+
+
+def _compare_per_s_kernel(skt_ref, rkt_ref, rpt_ref, ht_ref, tt_ref, *, lanes):
+    """Per-S-element match count h and matched-R-payload sum t (transposed
+    layout; outputs written row-by-row with dynamic sublane stores)."""
+    rkt = rkt_ref[:]
+    rpt = rpt_ref[:]
+
+    def body(l, _):
+        skc = skt_ref[pl.ds(l, 1), :]
+        eq = skc == rkt
+        ht_ref[pl.ds(l, 1), :] = jnp.sum(
+            eq.astype(jnp.int32), axis=0, keepdims=True)
+        tt_ref[pl.ds(l, 1), :] = jnp.sum(
+            jnp.where(eq, rpt, 0), axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, lanes, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def banded_compare_per_s(sk, rk, rp, interpret: bool = False):
+    """Per-S-element (match_count, matched_rp_sum), both [CH, 128] int32.
+
+    Invalid R rows must carry rp == 0 AND keys that cannot match (the caller
+    masks keys to the R-pad sentinel) so h stays exact."""
+    ch, lanes = sk.shape
+    ht, tt = pl.pallas_call(
+        functools.partial(_compare_per_s_kernel, lanes=lanes),
+        out_shape=(
+            jax.ShapeDtypeStruct((lanes, ch), jnp.int32),
+            jax.ShapeDtypeStruct((lanes, ch), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(sk.T, rk.T, rp.T)
+    return ht.T, tt.T

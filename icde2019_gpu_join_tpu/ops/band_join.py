@@ -117,12 +117,17 @@ def block_windows(r_sv: jnp.ndarray, s_sv: jnp.ndarray) -> Tuple[jnp.ndarray, jn
 _CHUNK_BLOCKS = 2048
 
 
-@functools.partial(jax.jit, static_argnames=("window_blocks", "mode"))
+def _use_pallas_compare() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+@functools.partial(jax.jit, static_argnames=("window_blocks", "mode", "pallas_compare"))
 def banded_probe(
     r_sv: jnp.ndarray, r_pay: jnp.ndarray,
     s_sv: jnp.ndarray, s_pay: jnp.ndarray,
-    window_blocks: int = 4,
+    window_blocks: int = 2,
     mode: str = "mul",   # "mul": SUM(Pr*Ps); "add": SUM(Pr+Ps)
+    pallas_compare: bool = None,
 ) -> jnp.ndarray:
     """Aggregate join over sv-sorted 128-padded inputs. Returns int32 scalar
     (uint32 wraparound accumulation, the reference's semantics).
@@ -134,6 +139,8 @@ def banded_probe(
     not max-width x all-blocks — the decompose_chains + knapsack-batching
     analog (src/join-primitives.cu:843-874, partition-primitives.cu:307-469)
     done as dense scheduling instead of work-item lists."""
+    if pallas_compare is None:
+        pallas_compare = _use_pallas_compare()
     W = window_blocks
     nsb_in = s_sv.shape[0] // _BLK
     # chunk size adapts to the input so tiny relations don't pay for a full
@@ -174,16 +181,27 @@ def banded_probe(
         active = (start + jnp.arange(CH, dtype=jnp.int32)) < cnt
 
         sk = jnp.take(s_svb, ids, axis=0)                    # [CH, 128]
-        sp = jnp.take(s_payb, ids, axis=0).astype(jnp.uint32)
+        sp_raw = jnp.take(s_payb, ids, axis=0)
 
         base = los + r * W
         bidx = base[:, None] + warr[None, :]                 # [CH, W]
         valid = (bidx < his[:, None]) & active[:, None]
         bidx = jnp.clip(bidx, 0, nrb - 1)
         rk = jnp.take(r_svb, bidx.reshape(-1), axis=0).reshape(CH, W * _BLK)
-        rp = jnp.take(r_payb, bidx.reshape(-1), axis=0).reshape(
-            CH, W * _BLK).astype(jnp.uint32)
+        rp_raw = jnp.take(r_payb, bidx.reshape(-1), axis=0).reshape(
+            CH, W * _BLK)
         vmask = jnp.repeat(valid, _BLK, axis=1)              # [CH, W*128]
+
+        if mode == "mul" and pallas_compare:
+            from icde2019_gpu_join_tpu.ops.band_compare_pallas import (
+                banded_compare_sum,
+            )
+
+            rp_m = jnp.where(vmask, rp_raw, 0)  # invalid rows contribute 0
+            return banded_compare_sum(sk, sp_raw, rk, rp_m).astype(jnp.uint32)
+
+        sp = sp_raw.astype(jnp.uint32)
+        rp = rp_raw.astype(jnp.uint32)
         eq = (sk[:, :, None] == rk[:, None, :]) & vmask[:, None, :]
         if mode == "add":
             both = sp[:, :, None] + rp[:, None, :]
@@ -218,9 +236,118 @@ def banded_probe(
     return total.astype(jnp.int32)
 
 
+_R_PAD_SV = 0x7FFFFFFF  # sv of key -1 (R-side pad); never matches real keys
+
+
+@functools.partial(jax.jit, static_argnames=("window_blocks", "pallas_compare"))
+def banded_probe_per_s(
+    r_sv: jnp.ndarray, r_pay: jnp.ndarray, s_sv: jnp.ndarray,
+    window_blocks: int = 2,
+    pallas_compare: bool = None,
+):
+    """Per-S-element probe: returns (h, t) int32 arrays aligned with the
+    *given sorted S order* — h[i] = number of R matches of S row i, t[i] =
+    SUM of matched R payloads (int32 wraparound). The building block for
+    fused probe->group-by pipelines and materialization counting (phase 1 of
+    join_partitioned_results, src/join-primitives.cu:1107-1416).
+
+    Requires real keys >= 0 (sentinels occupy sv 0x7FFFFFFE/0x7FFFFFFF)."""
+    if pallas_compare is None:
+        pallas_compare = _use_pallas_compare()
+    W = window_blocks
+    nsb = s_sv.shape[0] // _BLK
+    CH = min(_CHUNK_BLOCKS, 1 << max(3, (nsb - 1).bit_length()))
+    nrb = r_sv.shape[0] // _BLK
+    lo, hi = block_windows(r_sv, s_sv)
+    nrounds = (hi - lo + (W - 1)) // W
+
+    bid = jnp.arange(nsb, dtype=jnp.int32)
+    neg_rounds, lo_s, hi_s, bid_s = jax.lax.sort(
+        (-nrounds, lo, hi, bid), num_keys=1, is_stable=False
+    )
+    rounds_s = -neg_rounds
+    pad = (-nsb) % CH
+    if pad:
+        z = jnp.zeros((pad,), jnp.int32)
+        rounds_s = jnp.concatenate([rounds_s, z])
+        lo_s = jnp.concatenate([lo_s, z])
+        hi_s = jnp.concatenate([hi_s, z])
+        # distinct out-of-range pad block ids so the inverse permutation
+        # scatter below never collides with real blocks
+        bid_s = jnp.concatenate([
+            bid_s, nsb + jnp.arange(pad, dtype=jnp.int32)
+        ])
+
+    r_svb = r_sv.reshape(-1, _BLK)
+    r_payb = r_pay.reshape(-1, _BLK)
+    s_svb = s_sv.reshape(-1, _BLK)
+    warr = jnp.arange(W, dtype=jnp.int32)
+
+    h0 = jnp.zeros((nsb + pad, _BLK), jnp.int32)
+    t0 = jnp.zeros((nsb + pad, _BLK), jnp.int32)
+
+    def chunk(r, c, cnt, h_acc, t_acc):
+        start = c * CH
+        ids = jax.lax.dynamic_slice(bid_s, (start,), (CH,))
+        los = jax.lax.dynamic_slice(lo_s, (start,), (CH,))
+        his = jax.lax.dynamic_slice(hi_s, (start,), (CH,))
+        active = (start + jnp.arange(CH, dtype=jnp.int32)) < cnt
+        sk = jnp.take(s_svb, jnp.clip(ids, 0, nsb - 1), axis=0)
+        base = los + r * W
+        bidx = base[:, None] + warr[None, :]
+        valid = (bidx < his[:, None]) & active[:, None]
+        bidx = jnp.clip(bidx, 0, nrb - 1)
+        rk = jnp.take(r_svb, bidx.reshape(-1), axis=0).reshape(CH, W * _BLK)
+        rp = jnp.take(r_payb, bidx.reshape(-1), axis=0).reshape(CH, W * _BLK)
+        vmask = jnp.repeat(valid, _BLK, axis=1)
+        rk = jnp.where(vmask, rk, _R_PAD_SV)   # unmatched sentinel
+        rp = jnp.where(vmask, rp, 0)
+        if pallas_compare:
+            from icde2019_gpu_join_tpu.ops.band_compare_pallas import (
+                banded_compare_per_s,
+            )
+
+            hch, tch = banded_compare_per_s(sk, rk, rp)
+        else:
+            eq = sk[:, :, None] == rk[:, None, :]
+            hch = jnp.sum(eq.astype(jnp.int32), axis=2)
+            tch = jnp.sum(jnp.where(eq, rp[:, None, :], 0), axis=2)
+        # accumulate into the sorted-block positions (multi-round +=)
+        hs = jax.lax.dynamic_slice(h_acc, (start, 0), (CH, _BLK))
+        ts = jax.lax.dynamic_slice(t_acc, (start, 0), (CH, _BLK))
+        h_acc = jax.lax.dynamic_update_slice(h_acc, hs + hch, (start, 0))
+        t_acc = jax.lax.dynamic_update_slice(t_acc, ts + tch, (start, 0))
+        return h_acc, t_acc
+
+    def round_body(state):
+        r, h_acc, t_acc = state
+        cnt = jnp.sum((rounds_s > r).astype(jnp.int32))
+        nch = (cnt + CH - 1) // CH
+
+        def inner(c, acc):
+            return chunk(r, c, cnt, *acc)
+
+        h_acc, t_acc = jax.lax.fori_loop(0, nch, inner, (h_acc, t_acc))
+        return r + 1, h_acc, t_acc
+
+    def round_cond(state):
+        return jnp.sum((rounds_s > state[0]).astype(jnp.int32)) > 0
+
+    r0 = rounds_s[0] * 0
+    _, h_sorted, t_sorted = jax.lax.while_loop(
+        round_cond, round_body, (r0, h0, t0)
+    )
+    # un-permute from width-sorted block order back to sorted-S block order
+    inv = jnp.zeros((nsb + pad,), jnp.int32).at[bid_s].set(
+        jnp.arange(nsb + pad, dtype=jnp.int32), mode="drop")
+    h = jnp.take(h_sorted, inv[:nsb], axis=0).reshape(-1)
+    t = jnp.take(t_sorted, inv[:nsb], axis=0).reshape(-1)
+    return h, t
+
+
 @functools.partial(jax.jit, static_argnames=("window_blocks",))
 def banded_join_aggregate(
-    r_keys, r_pay, s_keys, s_pay, window_blocks: int = 4
+    r_keys, r_pay, s_keys, s_pay, window_blocks: int = 2
 ) -> jnp.ndarray:
     """Full pipeline: sort both sides + banded probe, one jit, no host sync.
 
@@ -232,7 +359,7 @@ def banded_join_aggregate(
 
 @functools.partial(jax.jit, static_argnames=("window_blocks",))
 def banded_join_late_aggregate(
-    r_keys, r_colsum, s_keys, s_colsum, window_blocks: int = 4
+    r_keys, r_colsum, s_keys, s_colsum, window_blocks: int = 2
 ) -> jnp.ndarray:
     """Late-materialization aggregate: SUM over matches of (Rcolsum +
     Scolsum), int32 wraparound (join_partitioned_varpayload analog,
@@ -243,7 +370,7 @@ def banded_join_late_aggregate(
 
 
 @functools.partial(jax.jit, static_argnames=("window_blocks",))
-def banded_join_count(r_keys, s_keys, window_blocks: int = 4) -> jnp.ndarray:
+def banded_join_count(r_keys, s_keys, window_blocks: int = 2) -> jnp.ndarray:
     """Match count (int32 wraparound; exact when < 2^31).
 
     Computed as SUM(1*1) over matches so that sentinel padding rows

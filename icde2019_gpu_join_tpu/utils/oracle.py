@@ -141,3 +141,22 @@ def filter_rows(keys: np.ndarray, vals: np.ndarray, lo: int, hi: int):
     """Selection: rows with lo <= key < hi, order-preserving."""
     m = (keys >= lo) & (keys < hi)
     return keys[m], vals[m]
+
+
+def filter_probe_groupby(r_keys, r_pay, s_keys, s_filter, s_gid, lo, hi,
+                         num_groups):
+    """Oracle for the fused filter -> PK-probe -> group-by pipeline:
+    per-group COUNT of matches and SUM(r_pay) (int32 wraparound), over S rows
+    passing lo <= filter < hi. R must be unique-keyed (PK)."""
+    order = np.argsort(r_keys, kind="stable")
+    rk = r_keys[order]
+    pos = np.searchsorted(rk, s_keys)
+    pos_c = np.clip(pos, 0, rk.size - 1)
+    hit = rk[pos_c] == s_keys
+    keep = (s_filter >= lo) & (s_filter < hi) & hit
+    vals = np.where(keep, r_pay[order][pos_c].astype(np.uint32), 0)
+    gids = s_gid[keep]
+    counts = np.bincount(gids, minlength=num_groups).astype(np.int32)
+    sums = np.zeros(num_groups, np.uint32)
+    np.add.at(sums, s_gid, vals)
+    return counts, sums.astype(np.int32)

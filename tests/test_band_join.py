@@ -86,3 +86,22 @@ def test_block_windows_cover_all_matches(rng):
             rblk = rs[j * 128:(j + 1) * 128]
             if np.intersect1d(blk, rblk).size:
                 assert lo[b] <= j < hi[b], (b, j, lo[b], hi[b])
+
+
+def test_pallas_compare_matches_xla(rng):
+    """The Pallas banded-compare kernel (interpret mode on CPU) agrees with
+    the XLA formulation."""
+    from icde2019_gpu_join_tpu.ops.band_compare_pallas import banded_compare_sum
+
+    ch, wb = 16, 256
+    sk = rng.randint(0, 50, (ch, 128)).astype(np.int32)
+    sp = rng.randint(-5, 5, (ch, 128)).astype(np.int32)
+    rk = rng.randint(0, 50, (ch, wb)).astype(np.int32)
+    rp = rng.randint(-5, 5, (ch, wb)).astype(np.int32)
+    got = int(banded_compare_sum(jnp.asarray(sk), jnp.asarray(sp),
+                                 jnp.asarray(rk), jnp.asarray(rp),
+                                 interpret=True))
+    eq = sk[:, :, None] == rk[:, None, :]
+    expect = np.sum(np.where(eq, rp[:, None, :].astype(np.uint32), 0)
+                    * sp[:, :, None].astype(np.uint32), dtype=np.uint64)
+    assert got == int(np.uint32(expect))
