@@ -275,10 +275,16 @@ def clustered_probe_join(
     segments; build side larger -> host co-partitioning."""
     config = config or EngineConfig()
     limit = config.resident_limit_rows
-    if r.num_rows <= limit and s.num_rows <= limit:
+    host_kinds = ("host", "pinned_host", "unpinned_host")
+    # Placement policy (MEM_TYPE analog) joins the size check: a relation
+    # pinned to host memory routes through the streaming / co-processing
+    # regimes even if it would fit in HBM.
+    s_resident = s.num_rows <= limit and config.probe_placement not in host_kinds
+    r_resident = r.num_rows <= limit and config.build_placement not in host_kinds
+    if r_resident and s_resident:
         engine = ClusteredJoin(config)
         return engine.materialize(r, s) if materialize else engine.aggregate(r, s)
-    if r.num_rows <= limit:  # S oversized: stream probe side (Join3 analog)
+    if r_resident:  # S oversized: stream probe side (Join3 analog)
         from icde2019_gpu_join_tpu.models.streaming import streaming_join_aggregate
 
         return streaming_join_aggregate(r, s, config)

@@ -81,6 +81,74 @@ def distributed_join_aggregate(
     return fn(r_keys, r_pay, s_keys, s_pay)
 
 
+def _local_segmented(rk, rp, sk, sp, axis, first_bit, cap_r, cap_s, num_segments):
+    """Build side exchanged + sorted once (resident); probe side flows in
+    segments through bucket -> all_to_all -> sort -> banded probe. The
+    per-segment structure is what lets the runtime overlap segment k+1's
+    ICI exchange with segment k's probe compute (the TPU analog of the
+    reference's 3-stream double-buffered pipeline,
+    src/hash_join_clustered_probe.cu:1400-1622)."""
+    from icde2019_gpu_join_tpu.ops.band_join import banded_probe, sort_by_key
+
+    nd = jax.lax.axis_size(axis)
+    bk_r, bp_r, ov_r = partition_to_buckets(rk, rp, nd, cap_r, first_bit)
+    gk_r, gp_r = all_to_all_exchange(bk_r, bp_r, axis)
+    r_sv, r_p = sort_by_key(gk_r.reshape(-1), gp_r.reshape(-1))
+
+    sk_seg = sk.reshape(num_segments, -1)
+    sp_seg = sp.reshape(num_segments, -1)
+
+    def seg_step(carry, seg):
+        acc, ov = carry
+        k, p = seg
+        bk, bp, ov_s = partition_to_buckets(k, p, nd, cap_s, first_bit)
+        gk, gp = all_to_all_exchange(bk, bp, axis)
+        s_sv, s_p = sort_by_key(gk.reshape(-1), gp.reshape(-1))
+        agg = banded_probe(r_sv, r_p, s_sv, s_p, 2, "mul")
+        return (acc + agg.astype(jnp.uint32), ov + ov_s), None
+
+    (acc, ov_s), _ = jax.lax.scan(
+        seg_step,
+        (jnp.uint32(0) + (rk[0] * 0).astype(jnp.uint32), ov_r * 0),
+        (sk_seg, sp_seg),
+    )
+    agg = jax.lax.psum(acc, axis).astype(jnp.int32)
+    overflow = jax.lax.psum(ov_r + ov_s, axis)
+    return agg, overflow
+
+
+def distributed_join_segmented(
+    r_keys, r_pay, s_keys, s_pay,
+    mesh: Mesh,
+    axis: str = "x",
+    num_segments: int = 4,
+    first_bit: int = 0,
+    slack: float = 2.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed join with the probe side streamed in segments so the ICI
+    all-to-all of segment k+1 can overlap the banded probe of segment k
+    (S_segment_size analog: min(CHUNK_SIZE, n/4),
+    src/hash_join_clustered_probe.cu:1017). Returns (aggregate, overflow)."""
+    nd = mesh.shape[axis]
+    n_r, n_s = r_keys.shape[0], s_keys.shape[0]
+    cap_r = max(8, int(slack * (n_r // nd) / nd) + 1)
+    cap_s = max(8, int(slack * (n_s // nd) / (nd * num_segments)) + 1)
+
+    fn = jax.jit(
+        jax.shard_map(
+            partial(
+                _local_segmented,
+                axis=axis, first_bit=first_bit, cap_r=cap_r, cap_s=cap_s,
+                num_segments=num_segments,
+            ),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+        )
+    )
+    return fn(r_keys, r_pay, s_keys, s_pay)
+
+
 def _two_level_local(rk, rp, sk, sp, host_axis, chip_axis, first_bit, caps):
     """Two-level exchange: hosts exchange over DCN first (outer radix bits),
     then chips within a host over ICI (next bits). This keeps the heavy

@@ -74,3 +74,22 @@ def test_overflow_detected(rng):
         mesh, slack=1.0,
     )
     assert int(overflow) > 0
+
+
+def test_segmented_distributed_join(rng):
+    """Streamed-probe distributed join (exchange/probe pipeline) matches
+    the oracle and the one-shot distributed join."""
+    from icde2019_gpu_join_tpu.parallel.dist_join import distributed_join_segmented
+    from icde2019_gpu_join_tpu.parallel.mesh import make_mesh
+
+    nd = len(jax.devices())
+    n_r, n_s = 64 * nd, 512 * nd
+    rk = rng.permutation(4 * n_r)[:n_r].astype(np.int32)
+    sk = rk[rng.randint(0, n_r, n_s)].astype(np.int32)
+    rp = rng.randint(1, 50, n_r).astype(np.int32)
+    sp = rng.randint(1, 50, n_s).astype(np.int32)
+    agg, ov = distributed_join_segmented(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        mesh=make_mesh(nd), num_segments=4, slack=4.0)
+    assert int(ov) == 0
+    assert int(agg) == oracle.join_aggregate(rk, rp, sk, sp)

@@ -97,3 +97,34 @@ def test_late_aggregate(rng):
         rk, np.arange(n_r, dtype=np.int32), sk, np.arange(n_s, dtype=np.int32),
         r_cols, s_cols)
     assert res.aggregate == expect
+
+
+def test_placement_routes_to_streaming(rng):
+    """probe_placement='host' must route through the streaming regime even
+    when S fits in memory (the MEM_TYPE placement analog)."""
+    import dataclasses
+    from icde2019_gpu_join_tpu.config import EngineConfig
+    from icde2019_gpu_join_tpu.models.joins import clustered_probe_join
+
+    rk, rp, sk, sp = make_tables(rng)
+    cfg = dataclasses.replace(EngineConfig(), probe_placement="host",
+                              segment_rows=1024)
+    res = clustered_probe_join(
+        Relation(jnp.asarray(rk), jnp.asarray(rp)),
+        Relation(np.asarray(sk), np.asarray(sp)), cfg)
+    assert res.aggregate == oracle.join_aggregate(rk, rp, sk, sp)
+    assert any(p.name == "segment" for p in res.timer.phases)
+
+
+def test_placement_helpers():
+    from icde2019_gpu_join_tpu.utils.placement import place, place_relation
+
+    x = np.arange(256, dtype=np.int32)
+    hbm = place(x, "hbm")
+    assert np.array_equal(np.asarray(hbm), x)
+    host = place(x, "host")
+    assert isinstance(host, np.ndarray)
+    pinned = place(x, "pinned_host")   # falls back gracefully on CPU
+    assert np.array_equal(np.asarray(pinned), x)
+    rel = place_relation(Relation(jnp.asarray(x)), "hbm")
+    assert rel.num_rows == 256
