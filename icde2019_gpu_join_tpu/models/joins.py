@@ -201,6 +201,17 @@ class ClusteredJoin:
         cfg = self.config
         capacity = capacity or cfg.out_capacity
         timer = PhaseTimer()
+        if cfg.probe_mode in ("auto", "banded"):
+            from icde2019_gpu_join_tpu.ops.band_join import banded_materialize
+
+            with timer.phase("join") as out:
+                out_r, out_s, total = banded_materialize(
+                    r.keys, r.payload, s.keys, s.payload, capacity=capacity,
+                    window_blocks=cfg.band_window_blocks,
+                )
+                out["result"] = (out_r, out_s)
+            return JoinResult(count=int(np.uint32(np.int64(int(total)))),
+                              pairs=(out_r, out_s), timer=timer)
         pr, ps, plan = self._partition_and_plan(r, s, timer)
         dev_plan = plan.as_device()
         with timer.phase("join") as out:

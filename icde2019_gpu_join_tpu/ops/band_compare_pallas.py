@@ -116,3 +116,47 @@ def banded_compare_per_s(sk, rk, rp, interpret: bool = False):
         interpret=interpret,
     )(sk.T, rk.T, rp.T)
     return ht.T, tt.T
+
+
+def _compare_first_kernel(skt_ref, rkt_ref, gxt_ref, ht_ref, ft_ref, *, lanes):
+    """Per-S-element match count h and FIRST matching global R index fm
+    (INT32_MAX when no match). Matches of one S element are contiguous in
+    the sorted R order, so (fm, h) fully describes its match set — the
+    foundation of banded materialization."""
+    rkt = rkt_ref[:]
+    gxt = gxt_ref[:]
+    big = jnp.int32(0x7FFFFFFF)
+
+    def body(l, _):
+        skc = skt_ref[pl.ds(l, 1), :]
+        eq = skc == rkt
+        ht_ref[pl.ds(l, 1), :] = jnp.sum(
+            eq.astype(jnp.int32), axis=0, keepdims=True)
+        ft_ref[pl.ds(l, 1), :] = jnp.min(
+            jnp.where(eq, gxt, big), axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, lanes, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def banded_compare_first(sk, rk, gidx, interpret: bool = False):
+    """Per-S-element (match_count, first_global_R_index), [CH, 128] int32.
+
+    gidx carries the global sorted-R row index of every window column;
+    invalid window rows must carry keys that cannot match."""
+    ch, lanes = sk.shape
+    ht, ft = pl.pallas_call(
+        functools.partial(_compare_first_kernel, lanes=lanes),
+        out_shape=(
+            jax.ShapeDtypeStruct((lanes, ch), jnp.int32),
+            jax.ShapeDtypeStruct((lanes, ch), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(sk.T, rk.T, gidx.T)
+    return ht.T, ft.T

@@ -345,6 +345,144 @@ def banded_probe_per_s(
     return h, t
 
 
+@functools.partial(jax.jit, static_argnames=("window_blocks", "pallas_compare"))
+def banded_match_descriptors(
+    r_sv: jnp.ndarray, s_sv: jnp.ndarray,
+    window_blocks: int = 2,
+    pallas_compare: bool = None,
+):
+    """Per-S-element (match_count h, first-match sorted-R index fm).
+
+    Because both sides are key-sorted, S row i's matches are exactly the
+    contiguous sorted-R rows [fm[i], fm[i]+h[i]) — the dense-counting phase
+    of materialization (phase 1 of join_partitioned_results,
+    src/join-primitives.cu:1107-1416). fm = INT32_MAX where h == 0."""
+    if pallas_compare is None:
+        pallas_compare = _use_pallas_compare()
+    W = window_blocks
+    nsb = s_sv.shape[0] // _BLK
+    CH = min(_CHUNK_BLOCKS, 1 << max(3, (nsb - 1).bit_length()))
+    nrb = r_sv.shape[0] // _BLK
+    lo, hi = block_windows(r_sv, s_sv)
+    nrounds = (hi - lo + (W - 1)) // W
+
+    bid = jnp.arange(nsb, dtype=jnp.int32)
+    neg_rounds, lo_s, hi_s, bid_s = jax.lax.sort(
+        (-nrounds, lo, hi, bid), num_keys=1, is_stable=False
+    )
+    rounds_s = -neg_rounds
+    pad = (-nsb) % CH
+    if pad:
+        z = jnp.zeros((pad,), jnp.int32)
+        rounds_s = jnp.concatenate([rounds_s, z])
+        lo_s = jnp.concatenate([lo_s, z])
+        hi_s = jnp.concatenate([hi_s, z])
+        bid_s = jnp.concatenate([
+            bid_s, nsb + jnp.arange(pad, dtype=jnp.int32)
+        ])
+
+    r_svb = r_sv.reshape(-1, _BLK)
+    s_svb = s_sv.reshape(-1, _BLK)
+    warr = jnp.arange(W, dtype=jnp.int32)
+    big = jnp.int32(0x7FFFFFFF)
+
+    h0 = jnp.zeros((nsb + pad, _BLK), jnp.int32)
+    f0 = jnp.full((nsb + pad, _BLK), big, jnp.int32)
+
+    def chunk(r, c, cnt, h_acc, f_acc):
+        start = c * CH
+        ids = jax.lax.dynamic_slice(bid_s, (start,), (CH,))
+        los = jax.lax.dynamic_slice(lo_s, (start,), (CH,))
+        his = jax.lax.dynamic_slice(hi_s, (start,), (CH,))
+        active = (start + jnp.arange(CH, dtype=jnp.int32)) < cnt
+        sk = jnp.take(s_svb, jnp.clip(ids, 0, nsb - 1), axis=0)
+        base = los + r * W
+        bidx = base[:, None] + warr[None, :]
+        valid = (bidx < his[:, None]) & active[:, None]
+        bidx = jnp.clip(bidx, 0, nrb - 1)
+        rk = jnp.take(r_svb, bidx.reshape(-1), axis=0).reshape(CH, W * _BLK)
+        vmask = jnp.repeat(valid, _BLK, axis=1)
+        rk = jnp.where(vmask, rk, _R_PAD_SV)
+        gidx = (jnp.repeat(bidx, _BLK, axis=1) * _BLK
+                + jnp.tile(jnp.arange(_BLK, dtype=jnp.int32), (CH, W)))
+        if pallas_compare:
+            from icde2019_gpu_join_tpu.ops.band_compare_pallas import (
+                banded_compare_first,
+            )
+
+            hch, fch = banded_compare_first(sk, rk, gidx)
+        else:
+            eq = sk[:, :, None] == rk[:, None, :]
+            hch = jnp.sum(eq.astype(jnp.int32), axis=2)
+            fch = jnp.min(jnp.where(eq, gidx[:, None, :], big), axis=2)
+        hs = jax.lax.dynamic_slice(h_acc, (start, 0), (CH, _BLK))
+        fs = jax.lax.dynamic_slice(f_acc, (start, 0), (CH, _BLK))
+        h_acc = jax.lax.dynamic_update_slice(h_acc, hs + hch, (start, 0))
+        f_acc = jax.lax.dynamic_update_slice(
+            f_acc, jnp.minimum(fs, fch), (start, 0))
+        return h_acc, f_acc
+
+    def round_body(state):
+        r, h_acc, f_acc = state
+        cnt = jnp.sum((rounds_s > r).astype(jnp.int32))
+        nch = (cnt + CH - 1) // CH
+
+        def inner(c, acc):
+            return chunk(r, c, cnt, *acc)
+
+        h_acc, f_acc = jax.lax.fori_loop(0, nch, inner, (h_acc, f_acc))
+        return r + 1, h_acc, f_acc
+
+    def round_cond(state):
+        return jnp.sum((rounds_s > state[0]).astype(jnp.int32)) > 0
+
+    r0 = rounds_s[0] * 0
+    _, h_sorted, f_sorted = jax.lax.while_loop(
+        round_cond, round_body, (r0, h0, f0)
+    )
+    inv = jnp.zeros((nsb + pad,), jnp.int32).at[bid_s].set(
+        jnp.arange(nsb + pad, dtype=jnp.int32), mode="drop")
+    h = jnp.take(h_sorted, inv[:nsb], axis=0).reshape(-1)
+    fm = jnp.take(f_sorted, inv[:nsb], axis=0).reshape(-1)
+    return h, fm
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "window_blocks"))
+def banded_materialize(
+    r_keys, r_pay, s_keys, s_pay, capacity: int, window_blocks: int = 2,
+):
+    """Materialize matched (Pr, Ps) pairs into `capacity`-sized buffers.
+
+    Returns (out_r, out_s, total_matches). When total <= capacity the output
+    multiset equals the oracle's (order is engine-defined: S-sorted match
+    order); excess matches are truncated (the reference's FOLD ring instead
+    wraps — both are bounded-output benchmark semantics, parity is defined
+    for capacity >= total, src/join-primitives.cu:1099-1373)."""
+    r_sv, r_p = sort_by_key(r_keys, r_pay)
+    s_sv, s_p = sort_by_key(s_keys, s_pay)
+    n_s_real = s_keys.shape[0]
+    h, fm = banded_match_descriptors(r_sv, s_sv, window_blocks)
+    # drop S sentinel-padding rows (at the end of the sorted order)
+    h = h[:n_s_real]
+    fm = fm[:n_s_real]
+    s_p = s_p[:n_s_real]
+    total = jnp.sum(h.astype(jnp.int64) if False else h)  # int32 wraparound
+    off = jnp.cumsum(h) - h
+    # expand per-match descriptors by repetition (no data-dependent shapes:
+    # total_repeat_length pads/truncates to capacity)
+    fm_exp = jnp.repeat(fm, h, total_repeat_length=capacity)
+    off_exp = jnp.repeat(off, h, total_repeat_length=capacity)
+    sp_exp = jnp.repeat(s_p, h, total_repeat_length=capacity)
+    npad_exp = jnp.repeat(jnp.ones_like(h), h, total_repeat_length=capacity)
+    pos = jnp.arange(capacity, dtype=jnp.int32)
+    k = pos - off_exp
+    r_pos = jnp.clip(fm_exp + k, 0, r_sv.shape[0] - 1)
+    valid = (pos < jnp.sum(h)) & (npad_exp > 0)
+    out_r = jnp.where(valid, jnp.take(r_p, r_pos), 0)
+    out_s = jnp.where(valid, sp_exp, 0)
+    return out_r, out_s, total
+
+
 @functools.partial(jax.jit, static_argnames=("window_blocks",))
 def banded_join_aggregate(
     r_keys, r_pay, s_keys, s_pay, window_blocks: int = 2

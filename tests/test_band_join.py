@@ -105,3 +105,41 @@ def test_pallas_compare_matches_xla(rng):
     expect = np.sum(np.where(eq, rp[:, None, :].astype(np.uint32), 0)
                     * sp[:, :, None].astype(np.uint32), dtype=np.uint64)
     assert got == int(np.uint32(expect))
+
+
+def test_banded_materialize(rng):
+    from icde2019_gpu_join_tpu.ops.band_join import banded_materialize
+
+    rk = rng.randint(0, 400, 2000).astype(np.int32)
+    sk = rng.randint(0, 400, 3000).astype(np.int32)
+    rp = rng.randint(1, 1000, rk.size).astype(np.int32)
+    sp = rng.randint(1, 1000, sk.size).astype(np.int32)
+    expect = oracle.join_materialize(rk, rp, sk, sp)
+    cap = expect.shape[0] + 64
+    out_r, out_s, total = banded_materialize(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        capacity=cap)
+    assert int(total) == expect.shape[0]
+    pairs = np.stack([np.asarray(out_r), np.asarray(out_s)], axis=1)
+    pairs = pairs[(pairs[:, 0] != 0) | (pairs[:, 1] != 0)]
+    got = pairs[np.lexsort((pairs[:, 1], pairs[:, 0]))]
+    assert np.array_equal(got, expect)
+
+
+def test_banded_match_descriptors(rng):
+    from icde2019_gpu_join_tpu.ops.band_join import (
+        banded_match_descriptors, sort_by_key)
+
+    rk = rng.randint(0, 100, 600).astype(np.int32)
+    sk = rng.randint(0, 100, 900).astype(np.int32)
+    r_sv, _ = sort_by_key(jnp.asarray(rk), jnp.zeros(600, jnp.int32))
+    s_sv, _ = sort_by_key(jnp.asarray(sk), jnp.zeros(900, jnp.int32))
+    h, fm = banded_match_descriptors(r_sv, s_sv)
+    h, fm = np.asarray(h)[:900], np.asarray(fm)[:900]
+    rs = np.asarray(r_sv).astype(np.int64)
+    ss = np.asarray(s_sv).astype(np.int64)
+    for i in range(900):
+        hits = np.nonzero(rs == ss[i])[0]
+        assert h[i] == hits.size
+        if hits.size:
+            assert fm[i] == hits[0]
