@@ -30,16 +30,41 @@ def _sorted_build(r_keys: jnp.ndarray, r_pay: jnp.ndarray):
     return ks, pref
 
 
+# The monolithic searchsorted+gather program faults the TPU worker at
+# 128M x 128M (components pass individually; the fused whole crashes the
+# runtime). This is an oracle, not a perf path: probe in bounded chunks as
+# SEPARATE dispatches — wraparound sums are associative, so chunking never
+# changes the result.
+_PROBE_CHUNK = 1 << 24
+
+
+@jax.jit
+def _probe_chunk_sum(ks, pref, cu, cp):
+    lo = jnp.searchsorted(ks, cu, side="left")
+    hi = jnp.searchsorted(ks, cu, side="right")
+    sub = pref[hi] - pref[lo]  # sum of matching Pr per s row, mod 2^32
+    return jnp.sum(sub * cp, dtype=jnp.uint32)
+
+
 def sort_merge_aggregate(
     r_keys: jnp.ndarray, r_pay: jnp.ndarray, s_keys: jnp.ndarray, s_pay: jnp.ndarray
 ) -> jnp.ndarray:
     """SUM(Pr*Ps) over matches, int32 wraparound. Returns scalar int32."""
-    ks, pref = _sorted_build(r_keys, r_pay)
+    ks, pref = jax.jit(_sorted_build)(r_keys, r_pay)
     su = s_keys.astype(jnp.uint32)
-    lo = jnp.searchsorted(ks, su, side="left")
-    hi = jnp.searchsorted(ks, su, side="right")
-    sub = pref[hi] - pref[lo]  # sum of matching Pr per s row, mod 2^32
-    total = jnp.sum(sub * s_pay.astype(jnp.uint32), dtype=jnp.uint32)
+    spu = s_pay.astype(jnp.uint32)
+    n = su.shape[0]
+    if n <= _PROBE_CHUNK:
+        return _probe_chunk_sum(ks, pref, su, spu).astype(jnp.int32)
+    total = jnp.uint32(0)
+    for lo_i in range(0, n - n % _PROBE_CHUNK, _PROBE_CHUNK):
+        total = total + _probe_chunk_sum(
+            ks, pref, jax.lax.dynamic_slice(su, (lo_i,), (_PROBE_CHUNK,)),
+            jax.lax.dynamic_slice(spu, (lo_i,), (_PROBE_CHUNK,)))
+    tail = n % _PROBE_CHUNK
+    if tail:
+        total = total + _probe_chunk_sum(
+            ks, pref, su[n - tail:], spu[n - tail:])
     return total.astype(jnp.int32)
 
 
