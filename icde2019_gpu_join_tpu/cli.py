@@ -64,12 +64,19 @@ def create_datasets(args) -> tuple:
         sk = datasets.create_relation_fk_from_pk(n_s, rk, args.seed)
         return rk, sk
     if args.uniqueKeys:
+        # -x/-y multipliers: generate the base relation, then tile it
+        # (main.cu:103-105, 212, 245; create_relation_n).
+        xm, ym = max(args.XSelsMultiplier, 1), max(args.YRelsMultiplier, 1)
         rk = datasets.create_relation_unique(n_r, n_r, args.seed)
         if args.skew > 0:
             sk = datasets.create_relation_zipf(n_s, n_r, args.skew, args.seed)
         else:
             rk2, sk = datasets.make_pk_fk(n_r, n_s, 0.0, args.seed)
             rk = rk2
+        if ym > 1:
+            rk = datasets.create_relation_n(rk, ym)
+        if xm > 1:
+            sk = datasets.create_relation_n(sk, xm)
         return rk, sk
     rk = datasets.create_relation_nonunique(
         datasets.nonunique_filename("R", n_r), n_r, max(n_r // 2, 1), args.seed)

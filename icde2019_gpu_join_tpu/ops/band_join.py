@@ -76,16 +76,20 @@ def _ranks_of_sorted_probes(a: jnp.ndarray, b: jnp.ndarray, a_first_on_ties: boo
     # {a <= b[i]}) else toward b (# {a < b[i]}). One (val, tag, idx) sort.
     """
     na, nb = a.shape[0], b.shape[0]
+    assert na < (1 << 30) and nb < (1 << 30)
     vals = jnp.concatenate([a, b])
+    # pack (tie-tag, origin index) into ONE int32 second sort key — a 2-op
+    # sort is ~1.8x faster than the 3-op (vals, tags, idx) variant
     tag_a, tag_b = (0, 1) if a_first_on_ties else (1, 0)
-    tags = jnp.concatenate([
-        jnp.full((na,), tag_a, jnp.int32), jnp.full((nb,), tag_b, jnp.int32)
+    packed = jnp.concatenate([
+        (jnp.int32(tag_a) << 30) | jnp.arange(na, dtype=jnp.int32),
+        (jnp.int32(tag_b) << 30) | jnp.arange(1, nb + 1, dtype=jnp.int32),
     ])
-    idx = jnp.concatenate([
-        jnp.zeros((na,), jnp.int32), jnp.arange(1, nb + 1, dtype=jnp.int32)
-    ])
-    _, tags_s, idx_s = jax.lax.sort((vals, tags, idx), num_keys=2, is_stable=True)
-    is_b = idx_s > 0
+    _, packed_s = jax.lax.sort((vals, packed), num_keys=2, is_stable=False)
+    is_b_tag = 1 if tag_b else 0
+    tags_s = (packed_s >> 30) & 1
+    idx_s = packed_s & ((1 << 30) - 1)
+    is_b = tags_s == is_b_tag
     # a-count strictly before each merged position
     pos = jnp.arange(na + nb, dtype=jnp.int32)
     b_before = jnp.cumsum(is_b.astype(jnp.int32)) - is_b.astype(jnp.int32)
@@ -152,9 +156,9 @@ def banded_probe(
 
     nsb = s_sv.shape[0] // _BLK
     bid = jnp.arange(nsb, dtype=jnp.int32)
-    neg_rounds, lo_s, hi_s, bid_s = jax.lax.sort(
-        (-nrounds, lo, hi, bid), num_keys=1, is_stable=False
-    )
+    # 2-operand descriptor sort; lo/hi are gathered per chunk by block id
+    neg_rounds, bid_s = jax.lax.sort((-nrounds, bid), num_keys=1,
+                                     is_stable=False)
     rounds_s = -neg_rounds  # descending
 
     # pad descriptor arrays to a CH multiple so dynamic slices stay in bounds
@@ -162,8 +166,6 @@ def banded_probe(
     if pad:
         z = jnp.zeros((pad,), jnp.int32)
         rounds_s = jnp.concatenate([rounds_s, z])
-        lo_s = jnp.concatenate([lo_s, z])
-        hi_s = jnp.concatenate([hi_s, z])
         bid_s = jnp.concatenate([bid_s, z])
 
     r_svb = r_sv.reshape(-1, _BLK)
@@ -176,8 +178,9 @@ def banded_probe(
     def chunk_contrib(r, c, cnt):
         start = c * CH
         ids = jax.lax.dynamic_slice(bid_s, (start,), (CH,))
-        los = jax.lax.dynamic_slice(lo_s, (start,), (CH,))
-        his = jax.lax.dynamic_slice(hi_s, (start,), (CH,))
+        ids = jnp.clip(ids, 0, nsb - 1)
+        los = jnp.take(lo, ids)
+        his = jnp.take(hi, ids)
         active = (start + jnp.arange(CH, dtype=jnp.int32)) < cnt
 
         sk = jnp.take(s_svb, ids, axis=0)                    # [CH, 128]
@@ -262,16 +265,13 @@ def banded_probe_per_s(
     nrounds = (hi - lo + (W - 1)) // W
 
     bid = jnp.arange(nsb, dtype=jnp.int32)
-    neg_rounds, lo_s, hi_s, bid_s = jax.lax.sort(
-        (-nrounds, lo, hi, bid), num_keys=1, is_stable=False
-    )
+    neg_rounds, bid_s = jax.lax.sort((-nrounds, bid), num_keys=1,
+                                     is_stable=False)
     rounds_s = -neg_rounds
     pad = (-nsb) % CH
     if pad:
         z = jnp.zeros((pad,), jnp.int32)
         rounds_s = jnp.concatenate([rounds_s, z])
-        lo_s = jnp.concatenate([lo_s, z])
-        hi_s = jnp.concatenate([hi_s, z])
         # distinct out-of-range pad block ids so the inverse permutation
         # scatter below never collides with real blocks
         bid_s = jnp.concatenate([
@@ -289,10 +289,11 @@ def banded_probe_per_s(
     def chunk(r, c, cnt, h_acc, t_acc):
         start = c * CH
         ids = jax.lax.dynamic_slice(bid_s, (start,), (CH,))
-        los = jax.lax.dynamic_slice(lo_s, (start,), (CH,))
-        his = jax.lax.dynamic_slice(hi_s, (start,), (CH,))
+        idc = jnp.clip(ids, 0, nsb - 1)
+        los = jnp.take(lo, idc)
+        his = jnp.take(hi, idc)
         active = (start + jnp.arange(CH, dtype=jnp.int32)) < cnt
-        sk = jnp.take(s_svb, jnp.clip(ids, 0, nsb - 1), axis=0)
+        sk = jnp.take(s_svb, idc, axis=0)
         base = los + r * W
         bidx = base[:, None] + warr[None, :]
         valid = (bidx < his[:, None]) & active[:, None]
@@ -367,16 +368,13 @@ def banded_match_descriptors(
     nrounds = (hi - lo + (W - 1)) // W
 
     bid = jnp.arange(nsb, dtype=jnp.int32)
-    neg_rounds, lo_s, hi_s, bid_s = jax.lax.sort(
-        (-nrounds, lo, hi, bid), num_keys=1, is_stable=False
-    )
+    neg_rounds, bid_s = jax.lax.sort((-nrounds, bid), num_keys=1,
+                                     is_stable=False)
     rounds_s = -neg_rounds
     pad = (-nsb) % CH
     if pad:
         z = jnp.zeros((pad,), jnp.int32)
         rounds_s = jnp.concatenate([rounds_s, z])
-        lo_s = jnp.concatenate([lo_s, z])
-        hi_s = jnp.concatenate([hi_s, z])
         bid_s = jnp.concatenate([
             bid_s, nsb + jnp.arange(pad, dtype=jnp.int32)
         ])
@@ -392,10 +390,11 @@ def banded_match_descriptors(
     def chunk(r, c, cnt, h_acc, f_acc):
         start = c * CH
         ids = jax.lax.dynamic_slice(bid_s, (start,), (CH,))
-        los = jax.lax.dynamic_slice(lo_s, (start,), (CH,))
-        his = jax.lax.dynamic_slice(hi_s, (start,), (CH,))
+        idc = jnp.clip(ids, 0, nsb - 1)
+        los = jnp.take(lo, idc)
+        his = jnp.take(hi, idc)
         active = (start + jnp.arange(CH, dtype=jnp.int32)) < cnt
-        sk = jnp.take(s_svb, jnp.clip(ids, 0, nsb - 1), axis=0)
+        sk = jnp.take(s_svb, idc, axis=0)
         base = los + r * W
         bidx = base[:, None] + warr[None, :]
         valid = (bidx < his[:, None]) & active[:, None]

@@ -116,3 +116,11 @@ def make_pk_fk(
             lambda: datagen.random_unique_gen(n_s, n_r, seed + 1),
         )
     return r, s
+
+
+def create_relation_n(base: np.ndarray, multiplier: int) -> np.ndarray:
+    """Tile a relation `multiplier` times (create_relation_n,
+    reference src/generator_ETHZ.cu:97-109 — the shuffle there is commented
+    out, so plain tiling matches the reference exactly). Used by the
+    -x/-y size-multiplier CLI flags (main.cu:103-105, 212, 245)."""
+    return np.tile(np.asarray(base, dtype=np.int32), int(multiplier))

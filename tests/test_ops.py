@@ -125,3 +125,14 @@ def test_radix_sort(rng):
     ks2, ps2 = radix_sort(jnp.asarray(rk), jnp.asarray(rp), bits=32, lsb_first_passes=4)
     assert np.array_equal(np.asarray(ks2), np.asarray(ks))
     assert np.array_equal(np.asarray(ps2), np.asarray(ps))
+
+
+def test_debug_validators(rng):
+    from icde2019_gpu_join_tpu.utils import debug
+    from icde2019_gpu_join_tpu.ops.band_join import sort_by_key
+
+    rk, rp, _, _ = make_tables(rng, n_r=2000, n_s=10, dup_build=True)
+    rel = radix_partition(jnp.asarray(rk), jnp.asarray(rp), 5, 0)
+    debug.validate_partition(rel, rk, rp)
+    sv, _ = sort_by_key(jnp.asarray(rk), jnp.asarray(rp))
+    debug.validate_sorted(sv)
