@@ -18,9 +18,8 @@ Execution is fully fused on the banded engine: filtered-out S rows are
 masked to a never-matching sentinel key (-2) BEFORE the sort, the group id
 rides as the sort payload, the per-S-element banded probe kernel produces
 (match_count h, matched-R-payload sum t), and the group-by reduces (h, t)
-by group id with an exact chunked one-hot matmul (f32 partials are exact
-for <= 2^24-bounded chunk sums; 16-bit split keeps int32-wraparound
-exactness for sums).
+by group id with a sort-based segmented reduction (exact uint32 prefix
+sums; see _groupby_sums2_exact for why not one-hot matmuls or scatter-add).
 """
 
 from __future__ import annotations
@@ -38,41 +37,29 @@ from icde2019_gpu_join_tpu.ops.band_join import (
 from icde2019_gpu_join_tpu.ops.filter import filter_by_mask
 
 
-def _groupby_sums_exact(gids: jnp.ndarray, vals: jnp.ndarray,
-                        num_groups: int) -> jnp.ndarray:
-    """SUM(vals) per group, int32 wraparound, via chunked one-hot matmuls.
+def _groupby_sums2_exact(gids, vals1, vals2, num_groups: int):
+    """(SUM(vals1), SUM(vals2)) per group, int32 wraparound.
 
-    Scatter-add runs at ~120 Mrows/s on TPU; the MXU one-hot route measured
-    2.7 Grows/s. f32 accumulators are exact below 2^24, so values are split
-    into 16-bit halves and chunks bounded to 256 rows (256 * 65535 < 2^24).
+    Sort-based segmented reduction: one (gid, v1, v2) sort groups rows, a
+    uint32 prefix sum + G+1 boundary probes produce exact per-group sums.
+    The one-hot-matmul route materializes its [n, 256, G] operand under
+    scan (measured 0.9 Mrows/s at 128M); lax.sort runs at 180+ Mrows/s and
+    the rest is bandwidth. Scatter-add (segment_sum) is ~120 Mrows/s.
     """
-    n = gids.shape[0]
-    C = 256
-    slab = C * 4096  # 1M rows per scan step keeps partials small
-    pad = (-n) % slab
-    if pad:
-        gids = jnp.concatenate([gids, jnp.full((pad,), num_groups, jnp.int32)])
-        vals = jnp.concatenate([vals, jnp.zeros((pad,), jnp.int32)])
-    G = num_groups + 1
-    garr = jnp.arange(G, dtype=jnp.int32)
+    g_s, v1_s, v2_s = jax.lax.sort((gids, vals1, vals2), num_keys=1,
+                                   is_stable=False)
+    bounds = jnp.searchsorted(
+        g_s, jnp.arange(num_groups + 1, dtype=jnp.int32), side="left"
+    )
 
-    g3 = gids.reshape(-1, slab // C, C)
-    v3 = vals.reshape(-1, slab // C, C)
+    def seg_sums(v):
+        pref = jnp.concatenate([
+            jnp.zeros((1,), jnp.uint32),
+            jnp.cumsum(v.astype(jnp.uint32)),
+        ])
+        return (pref[bounds][1:] - pref[bounds][:-1]).astype(jnp.int32)
 
-    def step(acc, gv):
-        g, v = gv
-        onehot = (g[:, :, None] == garr[None, None, :]).astype(jnp.float32)
-        u = v.astype(jnp.uint32)
-        v_lo = (u & jnp.uint32(0xFFFF)).astype(jnp.float32)
-        v_hi = ((u >> jnp.uint32(16)) & jnp.uint32(0xFFFF)).astype(jnp.float32)
-        lo_part = jnp.einsum("ncg,nc->ng", onehot, v_lo)   # exact in f32
-        hi_part = jnp.einsum("ncg,nc->ng", onehot, v_hi)
-        lo_i = jnp.sum(lo_part.astype(jnp.uint32), axis=0)
-        hi_i = jnp.sum(hi_part.astype(jnp.uint32), axis=0)
-        return acc + lo_i + (hi_i << jnp.uint32(16)), None
-
-    total, _ = jax.lax.scan(step, jnp.zeros((G,), jnp.uint32), (g3, v3))
-    return total[:num_groups].astype(jnp.int32)
+    return seg_sums(v1_s), seg_sums(v2_s)
 
 
 @partial(jax.jit, static_argnames=("num_groups", "window_blocks"))
@@ -102,9 +89,7 @@ def filter_probe_groupby(
     h = h[:n_s]
     t = t[:n_s]
     gid = s_gid[:n_s]
-    counts = _groupby_sums_exact(gid, h, num_groups)
-    sums = _groupby_sums_exact(gid, t, num_groups)
-    return counts, sums
+    return _groupby_sums2_exact(gid, h, t, num_groups)
 
 
 @partial(jax.jit, static_argnames=("num_groups",))
@@ -120,9 +105,7 @@ def filter_groupby(
     keep = (keys >= lo) & (keys < hi)
     gids = jnp.where(keep, group_id, num_groups)
     vals = jnp.where(keep, vals, 0)
-    counts = _groupby_sums_exact(gids, keep.astype(jnp.int32), num_groups)
-    sums = _groupby_sums_exact(gids, vals, num_groups)
-    return counts, sums
+    return _groupby_sums2_exact(gids, keep.astype(jnp.int32), vals, num_groups)
 
 
 def filter_then_join_aggregate(r, s, s_filter_col, lo, hi, config=None):

@@ -11,6 +11,14 @@ from icde2019_gpu_join_tpu.ops.perfect_hash import (
 from icde2019_gpu_join_tpu.ops.filter import filter_compact
 from icde2019_gpu_join_tpu.ops.groupby import groupby_count_sum
 from icde2019_gpu_join_tpu.ops.sort import radix_sort
+from icde2019_gpu_join_tpu.ops.band_join import (
+    banded_join_aggregate,
+    banded_join_count,
+    banded_join_late_aggregate,
+    banded_materialize,
+    banded_probe,
+    sort_by_key,
+)
 
 __all__ = [
     "partition_ids",
@@ -23,4 +31,10 @@ __all__ = [
     "filter_compact",
     "groupby_count_sum",
     "radix_sort",
+    "banded_join_aggregate",
+    "banded_join_count",
+    "banded_join_late_aggregate",
+    "banded_materialize",
+    "banded_probe",
+    "sort_by_key",
 ]
