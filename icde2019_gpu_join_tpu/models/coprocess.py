@@ -64,6 +64,19 @@ def coprocess_join_aggregate(
     )
     engine = ClusteredJoin(inner_cfg)
 
+    def quantize(arr_k, arr_p, lo, hi):
+        """Pad a partition slice to the next power of two with engine
+        sentinels (key -1, payload 0 — contribute nothing), so every pair
+        hits one of a handful of jit shapes instead of recompiling per
+        partition (remote compiles cost 30-300s each)."""
+        n = hi - lo
+        cap = 1 << max(10, (n - 1).bit_length())
+        k = np.full(cap, -1, np.int32)
+        v = np.zeros(cap, np.int32)
+        k[:n] = arr_k[lo:hi]
+        v[:n] = arr_p[lo:hi]
+        return jnp.asarray(k), jnp.asarray(v)
+
     total = np.uint32(0)
     for b in range(num_batches):
         for p in np.nonzero(batch_of == b)[0]:
@@ -73,8 +86,8 @@ def coprocess_join_aggregate(
                 continue
             with timer.phase("pair", rows=(r_hi - r_lo) + (s_hi - s_lo),
                              bytes_moved=8 * ((r_hi - r_lo) + (s_hi - s_lo))) as out:
-                rr = Relation(jnp.asarray(rk_p[r_lo:r_hi]), jnp.asarray(rp_p[r_lo:r_hi]))
-                ss = Relation(jnp.asarray(sk_p[s_lo:s_hi]), jnp.asarray(sp_p[s_lo:s_hi]))
+                rr = Relation(*quantize(rk_p, rp_p, r_lo, r_hi))
+                ss = Relation(*quantize(sk_p, sp_p, s_lo, s_hi))
                 res = engine.aggregate(rr, ss)
                 total = total + np.uint32(np.int64(res.aggregate) & 0xFFFFFFFF)
                 out["result"] = res.aggregate
