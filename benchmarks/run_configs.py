@@ -93,17 +93,17 @@ def config3(scale):
     from icde2019_gpu_join_tpu.utils import oracle
 
     n_r, n_s, groups = 1 << 24, 1 << scale, 64
-    rng = np.random.RandomState(42)
+    rng = np.random.default_rng(42)   # PCG64: ~20x faster than RandomState
     rk = rng.permutation(n_r).astype(np.int32)
-    rp = rng.randint(1, 100, n_r).astype(np.int32)
-    sk = rk[rng.randint(0, n_r, n_s)].astype(np.int32)
-    s_filter = rng.randint(0, 1000, n_s).astype(np.int32)
-    s_gid = rng.randint(0, groups, n_s).astype(np.int32)
+    rp = rng.integers(1, 100, n_r).astype(np.int32)
+    sk = rk[rng.integers(0, n_r, n_s)].astype(np.int32)
+    s_filter = rng.integers(0, 1000, n_s).astype(np.int32)
+    s_gid = rng.integers(0, groups, n_s).astype(np.int32)
     args = (jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk),
             jnp.asarray(s_filter), jnp.asarray(s_gid),
             jnp.int32(100), jnp.int32(600))
     cnt, sums = filter_probe_groupby(*args, num_groups=groups)
-    jax.block_until_ready(cnt)
+    np.asarray(cnt)  # real sync: block_until_ready is a no-op on axon
     t0 = time.perf_counter()
     cnt, sums = filter_probe_groupby(*args, num_groups=groups)
     cnt, sums = np.asarray(cnt), np.asarray(sums)
@@ -189,7 +189,7 @@ def main():
     if 2 in want:
         config2(27)
     if 3 in want:
-        config3(29 if args.full else 27)
+        config3(29 if args.full else 26)
     if 4 in want:
         config4(30 if args.full else 26)
     if 5 in want:

@@ -155,8 +155,10 @@ def filter_probe_groupby(r_keys, r_pay, s_keys, s_filter, s_gid, lo, hi,
     hit = rk[pos_c] == s_keys
     keep = (s_filter >= lo) & (s_filter < hi) & hit
     vals = np.where(keep, r_pay[order][pos_c].astype(np.uint32), 0)
-    gids = s_gid[keep]
-    counts = np.bincount(gids, minlength=num_groups).astype(np.int32)
-    sums = np.zeros(num_groups, np.uint32)
-    np.add.at(sums, s_gid, vals)
+    counts = np.bincount(s_gid[keep], minlength=num_groups).astype(np.int32)
+    # np.add.at is ~100x slower than bincount-with-weights; float64 weights
+    # are exact for the integer sums involved (< 2^53), mod 2^32 at the end.
+    sums64 = np.bincount(s_gid, weights=vals.astype(np.float64),
+                         minlength=num_groups)
+    sums = (sums64.astype(np.uint64) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     return counts, sums.astype(np.int32)

@@ -59,3 +59,11 @@ def test_groupby(rng):
     assert cnt.sum() == 1000
     for grp in range(16):
         assert sums[grp] == np.int32(np.sum(v[g == grp], dtype=np.int64) & 0xFFFFFFFF)
+
+
+def test_create_relation_n_tiling():
+    from icde2019_gpu_join_tpu.utils import datasets
+
+    base = np.arange(5, dtype=np.int32)
+    out = datasets.create_relation_n(base, 3)
+    assert np.array_equal(out, np.tile(base, 3))
