@@ -48,10 +48,11 @@ _BLK = 128
 
 
 def _pad_sorted_input(keys: jnp.ndarray, pay: jnp.ndarray):
-    """Pad to a 128 multiple with sentinel rows (key -1 -> max sortval,
+    """Pad to a 128 multiple (at least one block: empty relations become a
+    pure-sentinel block) with sentinel rows (key -1 -> max sortval,
     payload 0: sorts to the end, contributes 0 to any aggregate)."""
     n = keys.shape[0]
-    pad = (-n) % _BLK
+    pad = (-n) % _BLK if n else _BLK
     if pad:
         keys = jnp.concatenate([keys, jnp.full((pad,), -1, jnp.int32)])
         pay = jnp.concatenate([pay, jnp.zeros((pad,), jnp.int32)])

@@ -143,3 +143,12 @@ def test_banded_match_descriptors(rng):
         assert h[i] == hits.size
         if hits.size:
             assert fm[i] == hits[0]
+
+
+@pytest.mark.parametrize("n_r,n_s", [(0, 5), (5, 0), (0, 0), (1, 1), (127, 129)])
+def test_banded_edge_shapes(n_r, n_s):
+    rk = jnp.asarray(np.arange(n_r, dtype=np.int32))
+    sk = jnp.asarray(np.zeros(n_s, dtype=np.int32))
+    v = int(banded_join_aggregate(rk, jnp.ones(n_r, jnp.int32),
+                                  sk, jnp.ones(n_s, jnp.int32)))
+    assert v == (n_s if n_r > 0 and n_s > 0 else 0)
