@@ -10,8 +10,10 @@ compare runs ~13x below VPU speed (it fuses the [CH, 128, W*128] equality
 tensor poorly); these kernels loop over the 128 S lanes with fully-2D
 compares — Mosaic vectorizes 2D broadcasts completely.
 
-Layout: everything arrives TRANSPOSED — the chunk dimension CH rides the
-128-lane axis and the S-lane / window axes ride sublanes. Extracting "S
+Layout: inputs arrive in natural [CH, *] layout and are TRANSPOSED IN VMEM
+(Mosaic lowers transposes natively; doing it in-kernel saves four XLA
+transpose round-trips through HBM per chunk) — the chunk dimension CH rides
+the 128-lane axis and the S-lane / window axes ride sublanes. Extracting "S
 column l" is then a dynamic SUBLANE slice (cheap vector op); the [WB, CH]
 compare broadcasts a [1, CH] row across sublanes. Three designs that do NOT
 work on the remote Mosaic compiler: python-unrolled lane loops (~10 min
@@ -39,13 +41,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _compare_sum_kernel(skt_ref, spt_ref, rkt_ref, rpt_ref, out_ref, *, lanes):
-    rkt = rkt_ref[:]              # [WB, CH]
-    rpt = rpt_ref[:]
+def _compare_sum_kernel(sk_ref, sp_ref, rk_ref, rp_ref, out_ref,
+                        skt_s, spt_s, *, lanes):
+    # transpose in VMEM (Mosaic lowers this natively) — keeping the HBM-side
+    # arrays untransposed saves XLA transpose round-trips per chunk. The
+    # transposed S arrays land in scratch refs because dynamic sublane
+    # slicing is only lowerable on refs, not values.
+    skt_s[:] = sk_ref[:].T        # [lanes, CH]
+    spt_s[:] = sp_ref[:].T
+    rkt = rk_ref[:].T             # [WB, CH]
+    rpt = rp_ref[:].T
 
     def body(l, acc):
-        skc = skt_ref[pl.ds(l, 1), :]             # [1, CH] dyn sublane slice
-        spc = spt_ref[pl.ds(l, 1), :]
+        skc = skt_s[pl.ds(l, 1), :]               # [1, CH] dyn sublane slice
+        spc = spt_s[pl.ds(l, 1), :]
         eq = skc == rkt                           # [WB, CH] 2D broadcast
         t = jnp.sum(jnp.where(eq, rpt, 0), axis=0, keepdims=True)  # [1, CH]
         return acc + t * spc
@@ -69,22 +78,29 @@ def banded_compare_sum(sk, sp, rk, rp, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((lanes, ch), jnp.int32),
+            pltpu.VMEM((lanes, ch), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024
         ),
         interpret=interpret,
-    )(sk.T, sp.T, rk.T, rp.T)
+    )(sk, sp, rk, rp)
     return out[0, 0]
 
 
-def _compare_per_s_kernel(skt_ref, rkt_ref, rpt_ref, ht_ref, tt_ref, *, lanes):
-    """Per-S-element match count h and matched-R-payload sum t (transposed
-    layout; outputs written row-by-row with dynamic sublane stores)."""
-    rkt = rkt_ref[:]
-    rpt = rpt_ref[:]
+def _compare_per_s_kernel(sk_ref, rk_ref, rp_ref, ht_ref, tt_ref, skt_s,
+                          *, lanes):
+    """Per-S-element match count h and matched-R-payload sum t (computed in
+    transposed layout; outputs written row-by-row with dynamic sublane
+    stores and transposed back by the caller)."""
+    skt_s[:] = sk_ref[:].T
+    rkt = rk_ref[:].T
+    rpt = rp_ref[:].T
 
     def body(l, _):
-        skc = skt_ref[pl.ds(l, 1), :]
+        skc = skt_s[pl.ds(l, 1), :]
         eq = skc == rkt
         ht_ref[pl.ds(l, 1), :] = jnp.sum(
             eq.astype(jnp.int32), axis=0, keepdims=True)
@@ -118,17 +134,19 @@ def banded_compare_per_s(sk, rk, rp, interpret: bool = False):
     return ht.T, tt.T
 
 
-def _compare_first_kernel(skt_ref, rkt_ref, gxt_ref, ht_ref, ft_ref, *, lanes):
+def _compare_first_kernel(sk_ref, rk_ref, gx_ref, ht_ref, ft_ref, skt_s,
+                          *, lanes):
     """Per-S-element match count h and FIRST matching global R index fm
     (INT32_MAX when no match). Matches of one S element are contiguous in
     the sorted R order, so (fm, h) fully describes its match set — the
     foundation of banded materialization."""
-    rkt = rkt_ref[:]
-    gxt = gxt_ref[:]
+    skt_s[:] = sk_ref[:].T
+    rkt = rk_ref[:].T
+    gxt = gx_ref[:].T
     big = jnp.int32(0x7FFFFFFF)
 
     def body(l, _):
-        skc = skt_ref[pl.ds(l, 1), :]
+        skc = skt_s[pl.ds(l, 1), :]
         eq = skc == rkt
         ht_ref[pl.ds(l, 1), :] = jnp.sum(
             eq.astype(jnp.int32), axis=0, keepdims=True)
@@ -154,9 +172,10 @@ def banded_compare_first(sk, rk, gidx, interpret: bool = False):
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+        scratch_shapes=[pltpu.VMEM((lanes, ch), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024
         ),
         interpret=interpret,
-    )(sk.T, rk.T, gidx.T)
+    )(sk, rk, gidx)
     return ht.T, ft.T
