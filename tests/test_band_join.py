@@ -152,3 +152,18 @@ def test_banded_edge_shapes(n_r, n_s):
     v = int(banded_join_aggregate(rk, jnp.ones(n_r, jnp.int32),
                                   sk, jnp.ones(n_s, jnp.int32)))
     assert v == (n_s if n_r > 0 and n_s > 0 else 0)
+
+
+def test_banded_fuzz_vs_oracle(rng):
+    """Randomized shapes/distributions vs the oracle (CPU)."""
+    for _ in range(12):
+        n_r = int(rng.randint(1, 3000))
+        n_s = int(rng.randint(1, 5000))
+        kmax = int(rng.choice([10, 300, 1 << 16, 1 << 30]))
+        rk = rng.randint(0, kmax, n_r).astype(np.int32)
+        sk = rng.randint(0, kmax, n_s).astype(np.int32)
+        rp = rng.randint(-1000, 1000, n_r).astype(np.int32)
+        sp = rng.randint(-1000, 1000, n_s).astype(np.int32)
+        w = int(rng.choice([1, 2, 4]))
+        got = _agg(rk, rp, sk, sp, w)
+        assert got == oracle.join_aggregate(rk, rp, sk, sp), (n_r, n_s, kmax, w)
