@@ -5,7 +5,7 @@
 NATIVE_DIR := icde2019_gpu_join_tpu/datagen/native
 SO := $(NATIVE_DIR)/libtpujoin_host.so
 
-.PHONY: all native test bench clean
+.PHONY: all native test bench tpu-smoke clean
 
 all: native
 
@@ -20,6 +20,12 @@ test: native
 
 bench: native
 	python bench.py
+
+# On-device gate: every Pallas path + all five configs at small scale on
+# the REAL chip. Run before any headline/PROGRESS claim (the CPU-only test
+# suite cannot see device-only breakage).
+tpu-smoke: native
+	python benchmarks/tpu_smoke.py
 
 clean:
 	rm -f $(SO)

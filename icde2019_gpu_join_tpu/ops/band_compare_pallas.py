@@ -126,11 +126,12 @@ def banded_compare_per_s(sk, rk, rp, interpret: bool = False):
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+        scratch_shapes=[pltpu.VMEM((lanes, ch), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024
         ),
         interpret=interpret,
-    )(sk.T, rk.T, rp.T)
+    )(sk, rk, rp)
     return ht.T, tt.T
 
 

@@ -447,17 +447,27 @@ def banded_match_descriptors(
     return h, fm
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "window_blocks"))
+@functools.partial(jax.jit, static_argnames=("capacity", "window_blocks",
+                                             "wrap"))
 def banded_materialize(
     r_keys, r_pay, s_keys, s_pay, capacity: int, window_blocks: int = 2,
+    wrap: bool = True,
 ):
     """Materialize matched (Pr, Ps) pairs into `capacity`-sized buffers.
 
     Returns (out_r, out_s, total_matches). When total <= capacity the output
     multiset equals the oracle's (order is engine-defined: S-sorted match
-    order); excess matches are truncated (the reference's FOLD ring instead
-    wraps — both are bounded-output benchmark semantics, parity is defined
-    for capacity >= total, src/join-primitives.cu:1099-1373)."""
+    order). With wrap=True (default) excess matches wrap around the output
+    ring — match m lands in slot m mod capacity, later matches overwriting
+    earlier, the FOLD-ring semantics of join_partitioned_results
+    (src/join-primitives.cu:1371-1373; there the ring is 2^24 slots and the
+    write order is nondeterministic; here it is the engine's S-sorted match
+    order). wrap=False truncates instead.
+
+    The ring needs random access into the virtual match stream: slot pos's
+    winning match is m = pos + capacity*floor((total-1-pos)/capacity); its
+    owning S row comes from one searchsorted over the match-offset table,
+    so cost stays O(capacity log n_s) regardless of total."""
     r_sv, r_p = sort_by_key(r_keys, r_pay)
     s_sv, s_p = sort_by_key(s_keys, s_pay)
     n_s_real = s_keys.shape[0]
@@ -466,18 +476,31 @@ def banded_materialize(
     h = h[:n_s_real]
     fm = fm[:n_s_real]
     s_p = s_p[:n_s_real]
-    total = jnp.sum(h.astype(jnp.int64) if False else h)  # int32 wraparound
+    total = jnp.sum(h)  # int32 wraparound, like the reference's cursor
     off = jnp.cumsum(h) - h
-    # expand per-match descriptors by repetition (no data-dependent shapes:
-    # total_repeat_length pads/truncates to capacity)
+    pos = jnp.arange(capacity, dtype=jnp.int32)
+    if wrap:
+        # last full-or-partial lap's match index for each ring slot
+        laps = jnp.maximum(total - 1 - pos, 0) // jnp.int32(capacity)
+        m = pos + laps * jnp.int32(capacity)
+        s_row = jnp.clip(
+            jnp.searchsorted(off, m, side="right").astype(jnp.int32) - 1,
+            0, n_s_real - 1)
+        r_pos = jnp.clip(jnp.take(fm, s_row) + m - jnp.take(off, s_row),
+                         0, r_sv.shape[0] - 1)
+        valid = pos < total
+        out_r = jnp.where(valid, jnp.take(r_p, r_pos), 0)
+        out_s = jnp.where(valid, jnp.take(s_p, s_row), 0)
+        return out_r, out_s, total
+    # truncating path: expand per-match descriptors by repetition (no
+    # data-dependent shapes: total_repeat_length pads/truncates)
     fm_exp = jnp.repeat(fm, h, total_repeat_length=capacity)
     off_exp = jnp.repeat(off, h, total_repeat_length=capacity)
     sp_exp = jnp.repeat(s_p, h, total_repeat_length=capacity)
     npad_exp = jnp.repeat(jnp.ones_like(h), h, total_repeat_length=capacity)
-    pos = jnp.arange(capacity, dtype=jnp.int32)
     k = pos - off_exp
     r_pos = jnp.clip(fm_exp + k, 0, r_sv.shape[0] - 1)
-    valid = (pos < jnp.sum(h)) & (npad_exp > 0)
+    valid = (pos < total) & (npad_exp > 0)
     out_r = jnp.where(valid, jnp.take(r_p, r_pos), 0)
     out_s = jnp.where(valid, sp_exp, 0)
     return out_r, out_s, total

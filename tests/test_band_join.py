@@ -167,3 +167,79 @@ def test_banded_fuzz_vs_oracle(rng):
         w = int(rng.choice([1, 2, 4]))
         got = _agg(rk, rp, sk, sp, w)
         assert got == oracle.join_aggregate(rk, rp, sk, sp), (n_r, n_s, kmax, w)
+
+
+def test_pallas_compare_per_s_matches_numpy(rng):
+    """Interpret-mode check for banded_compare_per_s (the kernel that broke
+    in round 1 because only banded_compare_sum was tested)."""
+    from icde2019_gpu_join_tpu.ops.band_compare_pallas import (
+        banded_compare_per_s)
+
+    ch, wb = 8, 256
+    sk = rng.randint(0, 60, (ch, 128)).astype(np.int32)
+    rk = rng.randint(0, 60, (ch, wb)).astype(np.int32)
+    rp = rng.randint(-9, 9, (ch, wb)).astype(np.int32)
+    h, t = banded_compare_per_s(jnp.asarray(sk), jnp.asarray(rk),
+                                jnp.asarray(rp), interpret=True)
+    eq = sk[:, :, None] == rk[:, None, :]
+    np.testing.assert_array_equal(np.asarray(h), eq.sum(axis=2))
+    np.testing.assert_array_equal(
+        np.asarray(t), np.where(eq, rp[:, None, :], 0).sum(axis=2))
+
+
+def test_pallas_compare_first_matches_numpy(rng):
+    """Interpret-mode check for banded_compare_first."""
+    from icde2019_gpu_join_tpu.ops.band_compare_pallas import (
+        banded_compare_first)
+
+    ch, wb = 8, 256
+    sk = rng.randint(0, 60, (ch, 128)).astype(np.int32)
+    rk = rng.randint(0, 60, (ch, wb)).astype(np.int32)
+    gidx = rng.permutation(ch * wb).reshape(ch, wb).astype(np.int32)
+    h, fm = banded_compare_first(jnp.asarray(sk), jnp.asarray(rk),
+                                 jnp.asarray(gidx), interpret=True)
+    eq = sk[:, :, None] == rk[:, None, :]
+    np.testing.assert_array_equal(np.asarray(h), eq.sum(axis=2))
+    expect_fm = np.where(eq, gidx[:, None, :], 0x7FFFFFFF).min(axis=2)
+    np.testing.assert_array_equal(np.asarray(fm), expect_fm)
+
+
+def test_banded_materialize_wrap_ring(rng):
+    """FOLD-ring semantics: capacity < total matches, match m lands in slot
+    m mod capacity with later matches overwriting earlier (the engine's
+    match order is S-sorted; the reference ring is
+    src/join-primitives.cu:1371-1373)."""
+    from icde2019_gpu_join_tpu.ops.band_join import (
+        banded_match_descriptors, banded_materialize, sort_by_key)
+
+    rk = rng.randint(0, 50, 700).astype(np.int32)
+    sk = rng.randint(0, 50, 1100).astype(np.int32)
+    rp = rng.randint(1, 1000, rk.size).astype(np.int32)
+    sp = rng.randint(1, 1000, sk.size).astype(np.int32)
+
+    # oracle expansion in the engine's S-sorted match order
+    r_sv, r_p = sort_by_key(jnp.asarray(rk), jnp.asarray(rp))
+    s_sv, s_p = sort_by_key(jnp.asarray(sk), jnp.asarray(sp))
+    h, fm = banded_match_descriptors(r_sv, s_sv)
+    h = np.asarray(h)[:sk.size]
+    fm = np.asarray(fm)[:sk.size]
+    rpn, spn = np.asarray(r_p), np.asarray(s_p)[:sk.size]
+    stream_r, stream_s = [], []
+    for i in range(sk.size):
+        for k in range(h[i]):
+            stream_r.append(rpn[fm[i] + k])
+            stream_s.append(spn[i])
+    total = len(stream_r)
+    cap = total // 3 + 1   # forces >2 laps around the ring
+    assert cap < total
+    exp_r, exp_s = np.zeros(cap, np.int32), np.zeros(cap, np.int32)
+    for m in range(total):
+        exp_r[m % cap] = stream_r[m]
+        exp_s[m % cap] = stream_s[m]
+
+    out_r, out_s, tot = banded_materialize(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        capacity=cap, wrap=True)
+    assert int(tot) == total
+    np.testing.assert_array_equal(np.asarray(out_r), exp_r)
+    np.testing.assert_array_equal(np.asarray(out_s), exp_s)
