@@ -217,11 +217,64 @@ void tj_host_partition(const int32_t* keys, const int32_t* pays, uint64_t n,
 #endif
     uint64_t lo = n * t / num_threads, hi = n * (t + 1) / num_threads;
     uint64_t* cur = cursor.data() + (size_t)t * parts;
-    for (uint64_t i = lo; i < hi; ++i) {
-      uint32_t p = part_of(keys[i], first_bit, mask);
-      uint64_t dst = cur[p]++;
-      out_keys[dst] = keys[i];
-      out_pays[dst] = pays[i];
+#if defined(__AVX2__)
+    // Software write-combining (the reference's trick,
+    // src/partition-primitives.cu:88-101): per-partition 64-entry staging
+    // buffers; full buffers flush with _mm256_stream_si256 non-temporal
+    // stores so scattered partition writes don't thrash the cache. Only
+    // engaged for partition counts small enough that the staging arrays
+    // stay cache-resident.
+    if (parts <= 256) {
+      constexpr uint32_t WC = 64;
+      std::vector<int32_t> wck((size_t)parts * WC), wcp((size_t)parts * WC);
+      std::vector<uint32_t> fill(parts, 0);
+      auto flush = [&](uint32_t p, uint32_t cnt) {
+        uint64_t dst = cur[p];
+        const int32_t* sk_ = wck.data() + (size_t)p * WC;
+        const int32_t* sp_ = wcp.data() + (size_t)p * WC;
+        uint32_t i = 0;
+        // scalar head until the destination is 32B-aligned
+        while (i < cnt && (((uintptr_t)(out_keys + dst + i)) & 31u)) {
+          out_keys[dst + i] = sk_[i];
+          ++i;
+        }
+        for (; i + 8 <= cnt; i += 8)
+          _mm256_stream_si256((__m256i*)(out_keys + dst + i),
+                              _mm256_loadu_si256((const __m256i*)(sk_ + i)));
+        for (; i < cnt; ++i) out_keys[dst + i] = sk_[i];
+        i = 0;
+        while (i < cnt && (((uintptr_t)(out_pays + dst + i)) & 31u)) {
+          out_pays[dst + i] = sp_[i];
+          ++i;
+        }
+        for (; i + 8 <= cnt; i += 8)
+          _mm256_stream_si256((__m256i*)(out_pays + dst + i),
+                              _mm256_loadu_si256((const __m256i*)(sp_ + i)));
+        for (; i < cnt; ++i) out_pays[dst + i] = sp_[i];
+        cur[p] += cnt;
+      };
+      for (uint64_t i = lo; i < hi; ++i) {
+        uint32_t p = part_of(keys[i], first_bit, mask);
+        uint32_t f = fill[p];
+        wck[(size_t)p * WC + f] = keys[i];
+        wcp[(size_t)p * WC + f] = pays[i];
+        if (++fill[p] == WC) {
+          flush(p, WC);
+          fill[p] = 0;
+        }
+      }
+      for (uint32_t p = 0; p < parts; ++p)
+        if (fill[p]) flush(p, fill[p]);
+      _mm_sfence();
+    } else
+#endif
+    {
+      for (uint64_t i = lo; i < hi; ++i) {
+        uint32_t p = part_of(keys[i], first_bit, mask);
+        uint64_t dst = cur[p]++;
+        out_keys[dst] = keys[i];
+        out_pays[dst] = pays[i];
+      }
     }
   }
 }

@@ -21,7 +21,7 @@ import numpy as np
 
 from icde2019_gpu_join_tpu import datagen
 from icde2019_gpu_join_tpu.config import EngineConfig
-from icde2019_gpu_join_tpu.models.joins import ClusteredJoin, JoinResult
+from icde2019_gpu_join_tpu.models.joins import JoinResult
 from icde2019_gpu_join_tpu.relation import Relation
 from icde2019_gpu_join_tpu.utils.timing import PhaseTimer
 
@@ -55,15 +55,6 @@ def coprocess_join_aggregate(
     batch_of = datagen.knapsack_batches(gains, PARTS_RESIDENT)
     num_batches = int(batch_of.max()) + 1 if batch_of.size else 0
 
-    # Inner engine: radix field starts past the outer bits.
-    import dataclasses
-
-    inner_cfg = dataclasses.replace(
-        config,
-        radix=dataclasses.replace(config.radix, first_bit=fb + OUTER_BITS),
-    )
-    engine = ClusteredJoin(inner_cfg)
-
     def quantize(arr_k, arr_p, lo, hi):
         """Pad a partition slice to the next power of two with engine
         sentinels (key -1, payload 0 — contribute nothing), so every pair
@@ -77,18 +68,29 @@ def coprocess_join_aggregate(
         v[:n] = arr_p[lo:hi]
         return jnp.asarray(k), jnp.asarray(v)
 
-    total = np.uint32(0)
-    for b in range(num_batches):
-        for p in np.nonzero(batch_of == b)[0]:
-            r_lo, r_hi = int(off_r[p]), int(off_r[p + 1])
-            s_lo, s_hi = int(off_s[p]), int(off_s[p + 1])
-            if r_hi == r_lo or s_hi == s_lo:
-                continue
-            with timer.phase("pair", rows=(r_hi - r_lo) + (s_hi - s_lo),
-                             bytes_moved=8 * ((r_hi - r_lo) + (s_hi - s_lo))) as out:
+    # Per-pair aggregates stay ON DEVICE and accumulate there (int32
+    # wraparound add is associative); ONE host pull at the very end. Pulling
+    # per pair would serialize the pipeline on a full device round-trip per
+    # partition pair (~26ms each through the axon tunnel).
+    from icde2019_gpu_join_tpu.ops.band_join import banded_join_aggregate
+
+    total_dev = jnp.int32(0)
+    n_pairs = 0
+    with timer.phase("pairs", rows=rk.size + sk.size,
+                     bytes_moved=8 * (rk.size + sk.size)) as out:
+        for b in range(num_batches):
+            for p in np.nonzero(batch_of == b)[0]:
+                r_lo, r_hi = int(off_r[p]), int(off_r[p + 1])
+                s_lo, s_hi = int(off_s[p]), int(off_s[p + 1])
+                if r_hi == r_lo or s_hi == s_lo:
+                    continue
                 rr = Relation(*quantize(rk_p, rp_p, r_lo, r_hi))
                 ss = Relation(*quantize(sk_p, sp_p, s_lo, s_hi))
-                res = engine.aggregate(rr, ss)
-                total = total + np.uint32(np.int64(res.aggregate) & 0xFFFFFFFF)
-                out["result"] = res.aggregate
-    return JoinResult(aggregate=int(np.int32(total)), timer=timer)
+                total_dev = total_dev + banded_join_aggregate(
+                    rr.keys, rr.payload, ss.keys, ss.payload,
+                    window_blocks=config.band_window_blocks)
+                n_pairs += 1
+        total = int(np.asarray(total_dev))   # the single sync point
+        out["result"] = total
+    return JoinResult(aggregate=int(np.int32(np.uint32(total & 0xFFFFFFFF))),
+                      timer=timer)
