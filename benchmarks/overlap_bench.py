@@ -1,0 +1,112 @@
+"""Measure transfer/compute OVERLAP in the streaming-probe pipeline.
+
+Round-1 claimed overlap from async dispatch without evidence (VERDICT
+'What's weak'). This harness measures it directly:
+
+  t_transfer : device_put all segments, sync (no compute)
+  t_compute  : probe all segments pre-staged on device, sync (no transfer)
+  t_pipe     : the real pipeline (put k+1 in flight while probing k)
+
+  overlap_fraction = (t_transfer + t_compute - t_pipe)
+                     / min(t_transfer, t_compute)
+
+1.0 = the smaller phase fully hidden; 0 = fully serialized.
+
+Note (DESIGN_NOTES gotcha #6): through the axon tunnel, host->device
+transfer is slow and dominates; on real metal PCIe/DMA is ~10 GB/s and the
+balance shifts. The overlap fraction is the portable signal, not the
+absolute times.
+
+Usage: python benchmarks/overlap_bench.py [log2_nR log2_nS n_segments]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from icde2019_gpu_join_tpu.models.streaming import (
+        _segment_probe, _sort_side)
+    from icde2019_gpu_join_tpu.utils import datasets, oracle
+
+    lg_r = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    lg_s = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    nseg = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_r, n_s = 1 << lg_r, 1 << lg_s
+    seg = n_s // nseg
+    W = 2
+
+    rk, sk = datasets.make_pk_fk(n_r, n_s, seed=11)
+    rp = np.ones(n_r, np.int32)
+    sp = np.ones(n_s, np.int32)
+
+    r_sv, r_p = _sort_side(jnp.asarray(rk), jnp.asarray(rp))
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.uint32)))
+
+    segs = [(sk[i * seg:(i + 1) * seg], sp[i * seg:(i + 1) * seg])
+            for i in range(nseg)]
+
+    # warm the jit caches
+    d0 = (jax.device_put(segs[0][0]), jax.device_put(segs[0][1]))
+    t = _segment_probe(r_sv, r_p, d0[0], d0[1], jnp.uint32(0), W)
+    sync(t)
+
+    # t_transfer: puts only, then force materialization via a trivial use
+    t0 = time.perf_counter()
+    put = [(jax.device_put(a), jax.device_put(b)) for a, b in segs]
+    acc = jnp.uint32(0)
+    for a, b in put:
+        acc = acc + jnp.uint32(a[0].astype(jnp.uint32)) + jnp.uint32(
+            b[0].astype(jnp.uint32))
+    sync(acc)
+    t_transfer = time.perf_counter() - t0
+    staged = put  # keep on device for the compute-only leg
+
+    # t_compute: all segments already on device
+    t0 = time.perf_counter()
+    total = jnp.uint32(0)
+    for a, b in staged:
+        total = _segment_probe(r_sv, r_p, a, b, total, W)
+    sync(total)
+    t_compute = time.perf_counter() - t0
+    agg_compute = int(np.int32(np.uint32(int(sync(total)))))
+
+    # t_pipe: the real pipeline
+    t0 = time.perf_counter()
+    total = jnp.uint32(0)
+    nxt = (jax.device_put(segs[0][0]), jax.device_put(segs[0][1]))
+    for i in range(nseg):
+        a, b = nxt
+        if i + 1 < nseg:
+            nxt = (jax.device_put(segs[i + 1][0]),
+                   jax.device_put(segs[i + 1][1]))
+        total = _segment_probe(r_sv, r_p, a, b, total, W)
+    sync(total)
+    t_pipe = time.perf_counter() - t0
+
+    expect = oracle.join_count(rk, sk)
+    got = int(np.uint32(int(sync(total)) & 0xFFFFFFFF))
+    overlap = (t_transfer + t_compute - t_pipe) / max(
+        1e-9, min(t_transfer, t_compute))
+    print(json.dumps({
+        "n_r": n_r, "n_s": n_s, "segments": nseg,
+        "t_transfer_s": round(t_transfer, 4),
+        "t_compute_s": round(t_compute, 4),
+        "t_pipeline_s": round(t_pipe, 4),
+        "overlap_fraction": round(overlap, 3),
+        "correct": got == (expect & 0xFFFFFFFF),
+    }))
+
+
+if __name__ == "__main__":
+    main()

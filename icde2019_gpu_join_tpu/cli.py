@@ -28,11 +28,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-R", "--RelsNum", type=int, default=1 << 20)
     p.add_argument("-S", "--SelsNum", type=int, default=1 << 24)
     p.add_argument("-s", "--skew", type=float, default=0.0)
-    p.add_argument("-t", "--threadsNum", type=int, default=0)
-    p.add_argument("-v", "--values", type=int, default=2)
-    p.add_argument("-m", "--memory", type=int, default=30 << 10)
-    p.add_argument("-p", "--pivotsNum", type=int, default=1)
-    p.add_argument("-w", "--OneToMany", type=int, default=0)
+    # The next five flags exist for reference CLI compatibility
+    # (main.cu:445-455) but are ACCEPTED AND IGNORED: they tune CUDA/OpenMP
+    # knobs with no TPU analog (thread counts, shared-memory bytes, pivots).
+    ignored = " (accepted for reference-CLI compatibility; ignored)"
+    p.add_argument("-t", "--threadsNum", type=int, default=0,
+                   help="CUDA/OpenMP threads" + ignored)
+    p.add_argument("-v", "--values", type=int, default=2,
+                   help="values per tuple" + ignored)
+    p.add_argument("-m", "--memory", type=int, default=30 << 10,
+                   help="shared memory bytes" + ignored)
+    p.add_argument("-p", "--pivotsNum", type=int, default=1,
+                   help="pivot count" + ignored)
+    p.add_argument("-w", "--OneToMany", type=int, default=0,
+                   help="one-to-many flag" + ignored)
     p.add_argument("-x", "--XSelsMultiplier", type=int, default=1)
     p.add_argument("-y", "--YRelsMultiplier", type=int, default=1)
     p.add_argument("-k", "--R_filename", default=None)

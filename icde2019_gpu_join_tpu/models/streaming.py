@@ -74,15 +74,18 @@ def streaming_join_aggregate(
     total = jnp.uint32(0)
     starts = list(range(0, n_s, seg))
     # Prefetch first segment, then keep one segment in flight (the analog of
-    # the double-buffered S slots, reference :1559-1609).
-    next_buf = put(0, min(seg, n_s))
-    for i, lo in enumerate(starts):
-        hi = min(lo + seg, n_s)
-        sk, sp = next_buf
-        if i + 1 < len(starts):
-            nlo = starts[i + 1]
-            next_buf = put(nlo, min(nlo + seg, n_s))
-        with timer.phase("segment", bytes_moved=16 * (hi - lo), rows=hi - lo) as out:
+    # the double-buffered S slots, reference :1559-1609). NOTHING inside the
+    # loop blocks: device_put(k+1) is issued before probe(k) is dispatched,
+    # and the single sync happens after the loop — so transfer(k+1) overlaps
+    # probe(k) on the device timeline (measured: benchmarks/overlap_bench.py
+    # and docs/DESIGN_NOTES.md 'Pipeline overlap, measured').
+    with timer.phase("stream", bytes_moved=16 * n_s, rows=n_s) as out:
+        next_buf = put(0, min(seg, n_s))
+        for i, lo in enumerate(starts):
+            sk, sp = next_buf
+            if i + 1 < len(starts):
+                nlo = starts[i + 1]
+                next_buf = put(nlo, min(nlo + seg, n_s))
             total = _segment_probe(r_sv, r_p, sk, sp, total, W)
-            out["result"] = total
+        out["result"] = total
     return JoinResult(aggregate=int(jnp.asarray(total).astype(jnp.int32)), timer=timer)

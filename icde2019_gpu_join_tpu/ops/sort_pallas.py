@@ -1,9 +1,15 @@
 """Pallas TPU full-tile bitonic sort of (sortval, payload) pairs.
 
-The workhorse of the Pallas partition engine (ops/partition_pallas.py): XLA's
-lax.sort runs at ~340-520 Mrows/s on 16M-row int32 pairs on v5e, ~100x off
-the VPU's potential, because it is a general comparison sort lowered without
-knowledge of the flat-radix use case. This kernel sorts one VMEM-resident
+STATUS: EXPERIMENTAL / not on the hot path. Measured 450 Melem/s at 64K
+tiles and 132 Melem/s at 1M tiles — it loses to XLA's flat unstable sort
+(359-691 Mrows/s measured, benchmarks/sortgeom_bench.py) once payloads are
+carried, and by a wide margin to XLA's batched segmented sorts (1.7-4.9
+Grows/s at [many x 1-4K]). Kept as kernel infrastructure + documentation of
+the bitonic-on-VPU cost floor; the partition engine that was expected to
+need it became ops/partition_radix.py (chunk-sort + block-gather, no Pallas
+sort required) — see docs/DESIGN_NOTES.md "Radix vs sort: closed".
+
+Design notes: this kernel sorts one VMEM-resident
 tile with the classic bitonic network; every compare-exchange at distance d
 is two `pltpu.roll`s + selects over the whole [S, 128] tile (XOR partners
 never cross a lane-row for d < 128, never leave the tile otherwise), so all

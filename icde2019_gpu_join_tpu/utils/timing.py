@@ -61,7 +61,9 @@ class PhaseTimer:
         t0 = time.perf_counter()
         out = {}
         try:
-            yield out
+            # named span in jax.profiler device traces (utils/profiling.py)
+            with jax.profiler.TraceAnnotation(f"tpujoin.{name}"):
+                yield out
         finally:
             if "result" in out:
                 jax.block_until_ready(out["result"])

@@ -113,7 +113,7 @@ def test_placement_routes_to_streaming(rng):
         Relation(jnp.asarray(rk), jnp.asarray(rp)),
         Relation(np.asarray(sk), np.asarray(sp)), cfg)
     assert res.aggregate == oracle.join_aggregate(rk, rp, sk, sp)
-    assert any(p.name == "segment" for p in res.timer.phases)
+    assert any(p.name == "stream" for p in res.timer.phases)
 
 
 def test_placement_helpers():
