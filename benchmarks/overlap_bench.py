@@ -61,14 +61,26 @@ def main():
     t = _segment_probe(r_sv, r_p, d0[0], d0[1], jnp.uint32(0), W)
     sync(t)
 
+    # Each leg gets FRESH host copies: jax dedupes repeat transfers of the
+    # same host array, which silently deflates later legs (observed:
+    # "pipeline" 11x faster than "transfer" before this fix).
+    def fresh():
+        return [(np.array(a, copy=True), np.array(b, copy=True))
+                for a, b in segs]
+
     # t_transfer: puts only, then force materialization via a trivial use
+    @jax.jit
+    def consume(bufs):
+        return sum(jnp.sum(x[:128].astype(jnp.uint32)) for pair in bufs
+                   for x in pair)
+
+    warm = [(jax.device_put(segs[0][0]), jax.device_put(segs[0][1]))] * nseg
+    float(consume(warm))  # compile the consumer before timing
+
+    legA = fresh()
     t0 = time.perf_counter()
-    put = [(jax.device_put(a), jax.device_put(b)) for a, b in segs]
-    acc = jnp.uint32(0)
-    for a, b in put:
-        acc = acc + jnp.uint32(a[0].astype(jnp.uint32)) + jnp.uint32(
-            b[0].astype(jnp.uint32))
-    sync(acc)
+    put = [(jax.device_put(a), jax.device_put(b)) for a, b in legA]
+    float(consume(put))
     t_transfer = time.perf_counter() - t0
     staged = put  # keep on device for the compute-only leg
 
@@ -82,22 +94,23 @@ def main():
     agg_compute = int(np.int32(np.uint32(int(sync(total)))))
 
     # t_pipe: the real pipeline
+    legC = fresh()
     t0 = time.perf_counter()
     total = jnp.uint32(0)
-    nxt = (jax.device_put(segs[0][0]), jax.device_put(segs[0][1]))
+    nxt = (jax.device_put(legC[0][0]), jax.device_put(legC[0][1]))
     for i in range(nseg):
         a, b = nxt
         if i + 1 < nseg:
-            nxt = (jax.device_put(segs[i + 1][0]),
-                   jax.device_put(segs[i + 1][1]))
+            nxt = (jax.device_put(legC[i + 1][0]),
+                   jax.device_put(legC[i + 1][1]))
         total = _segment_probe(r_sv, r_p, a, b, total, W)
     sync(total)
     t_pipe = time.perf_counter() - t0
 
     expect = oracle.join_count(rk, sk)
     got = int(np.uint32(int(sync(total)) & 0xFFFFFFFF))
-    overlap = (t_transfer + t_compute - t_pipe) / max(
-        1e-9, min(t_transfer, t_compute))
+    overlap = min(1.0, max(0.0, (t_transfer + t_compute - t_pipe) / max(
+        1e-9, min(t_transfer, t_compute))))
     print(json.dumps({
         "n_r": n_r, "n_s": n_s, "segments": nseg,
         "t_transfer_s": round(t_transfer, 4),

@@ -75,6 +75,10 @@ def create_relation_unique(n: int, maxid: Optional[int] = None, seed: int = 1234
     from icde2019_gpu_join_tpu import datagen
 
     maxid = n if maxid is None else maxid
+    # int32 key domain: the engine's sentinel contract needs keys >= 0, so
+    # the key cycle must stay below 2^31 (relevant only for 2B-row nominal
+    # runs; the reference's int keys would overflow the same way)
+    maxid = min(maxid, (1 << 31) - 2)
     return _cached(unique_filename(n), n, lambda: datagen.random_unique_gen(n, maxid, seed))
 
 
@@ -113,7 +117,8 @@ def make_pk_fk(
         s = _cached(
             os.path.join(cache_dir(), f"unique_S{n_s}_mod{n_r}.bin"),
             n_s,
-            lambda: datagen.random_unique_gen(n_s, n_r, seed + 1),
+            lambda: datagen.random_unique_gen(
+                n_s, min(n_r, (1 << 31) - 2), seed + 1),
         )
     return r, s
 
