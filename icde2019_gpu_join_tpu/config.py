@@ -101,7 +101,7 @@ class EngineConfig:
     probe_mode: str = "auto"
 
     # Banded probe: R-blocks (x128 rows) gathered per round per S block.
-    band_window_blocks: int = 2
+    band_window_blocks: int = 1  # W=1 measured fastest at 2^27 (uniform 93ms vs 125; zipf 168 vs 172)
 
     # Streaming: probe-side segment size in rows (Join3 analog,
     # reference src/hash_join_clustered_probe.cu:1017: min(CHUNK_SIZE, n/4)).

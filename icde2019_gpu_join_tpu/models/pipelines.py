@@ -72,7 +72,7 @@ def filter_probe_groupby(
     lo: jnp.ndarray,
     hi: jnp.ndarray,
     num_groups: int,
-    window_blocks: int = 2,
+    window_blocks: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (per-group match COUNT int32, per-group SUM(r_pay) int32
     wraparound). Non-matching / filtered-out rows contribute nothing."""

@@ -14,7 +14,8 @@ Both relations are sorted by the rotated key (exactly the layout
 ops/partition.radix_partition already produces — partition grouping IS a
 sort prefix), so the join is a merge with block-level alignment:
 
-  1. block summaries: bmin/bmax of every 128-row block (strided slices);
+  1. block summaries: bmin/bmax of every 128-row block (contiguous
+     axis reductions — strided slices measured 4x slower);
   2. for each S block, its exact matching R-block window
      [lo, hi) = [rank(r_bmax < s_bmin), rank(r_bmin <= s_bmax)) — ranks of
      sorted probes in a sorted array, computed with ONE small (val, tag)
@@ -106,11 +107,22 @@ def block_windows(r_sv: jnp.ndarray, s_sv: jnp.ndarray) -> Tuple[jnp.ndarray, jn
 
     R block j can contain a match for S block b iff
     r_bmax[j] >= s_bmin[b] and r_bmin[j] <= s_bmax[b].
+
+    Ranks come from the (val, packed-tag) merge-sort trick
+    (_ranks_of_sorted_probes) — measured 86ms at 2^27 vs 377ms for the
+    "obvious" jnp.searchsorted formulation (XLA searchsorted lowers to
+    element-gather binary-search rounds; see DESIGN_NOTES primitive table).
+    Summaries use contiguous axis-1 reductions, not strided slices: the
+    relation is sorted so min/max are the block's first/last element, but a
+    dense reduce streams at full HBM bandwidth while a stride-128 slice
+    does not.
     """
-    r_bmin = r_sv[::_BLK]
-    r_bmax = r_sv[_BLK - 1::_BLK]
-    s_bmin = s_sv[::_BLK]
-    s_bmax = s_sv[_BLK - 1::_BLK]
+    r2 = r_sv.reshape(-1, _BLK)
+    s2 = s_sv.reshape(-1, _BLK)
+    r_bmin = jnp.min(r2, axis=1)
+    r_bmax = jnp.max(r2, axis=1)
+    s_bmin = jnp.min(s2, axis=1)
+    s_bmax = jnp.max(s2, axis=1)
     # lo = # of R blocks with bmax < s_bmin  (ties: keep block -> a after b)
     lo = _ranks_of_sorted_probes(r_bmax, s_bmin, a_first_on_ties=False)
     # hi = # of R blocks with bmin <= s_bmax (ties: include block -> a first)
@@ -130,7 +142,7 @@ def _use_pallas_compare() -> bool:
 def banded_probe(
     r_sv: jnp.ndarray, r_pay: jnp.ndarray,
     s_sv: jnp.ndarray, s_pay: jnp.ndarray,
-    window_blocks: int = 2,
+    window_blocks: int = 1,
     mode: str = "mul",   # "mul": SUM(Pr*Ps); "add": SUM(Pr+Ps)
     pallas_compare: bool = None,
 ) -> jnp.ndarray:
@@ -246,7 +258,7 @@ _R_PAD_SV = 0x7FFFFFFF  # sv of key -1 (R-side pad); never matches real keys
 @functools.partial(jax.jit, static_argnames=("window_blocks", "pallas_compare"))
 def banded_probe_per_s(
     r_sv: jnp.ndarray, r_pay: jnp.ndarray, s_sv: jnp.ndarray,
-    window_blocks: int = 2,
+    window_blocks: int = 1,
     pallas_compare: bool = None,
 ):
     """Per-S-element probe: returns (h, t) int32 arrays aligned with the
@@ -350,7 +362,7 @@ def banded_probe_per_s(
 @functools.partial(jax.jit, static_argnames=("window_blocks", "pallas_compare"))
 def banded_match_descriptors(
     r_sv: jnp.ndarray, s_sv: jnp.ndarray,
-    window_blocks: int = 2,
+    window_blocks: int = 1,
     pallas_compare: bool = None,
 ):
     """Per-S-element (match_count h, first-match sorted-R index fm).
@@ -450,7 +462,7 @@ def banded_match_descriptors(
 @functools.partial(jax.jit, static_argnames=("capacity", "window_blocks",
                                              "wrap"))
 def banded_materialize(
-    r_keys, r_pay, s_keys, s_pay, capacity: int, window_blocks: int = 2,
+    r_keys, r_pay, s_keys, s_pay, capacity: int, window_blocks: int = 1,
     wrap: bool = True,
 ):
     """Materialize matched (Pr, Ps) pairs into `capacity`-sized buffers.
@@ -508,7 +520,7 @@ def banded_materialize(
 
 @functools.partial(jax.jit, static_argnames=("window_blocks",))
 def banded_join_aggregate(
-    r_keys, r_pay, s_keys, s_pay, window_blocks: int = 2
+    r_keys, r_pay, s_keys, s_pay, window_blocks: int = 1
 ) -> jnp.ndarray:
     """Full pipeline: sort both sides + banded probe, one jit, no host sync.
 
@@ -520,7 +532,7 @@ def banded_join_aggregate(
 
 @functools.partial(jax.jit, static_argnames=("window_blocks",))
 def banded_join_late_aggregate(
-    r_keys, r_colsum, s_keys, s_colsum, window_blocks: int = 2
+    r_keys, r_colsum, s_keys, s_colsum, window_blocks: int = 1
 ) -> jnp.ndarray:
     """Late-materialization aggregate: SUM over matches of (Rcolsum +
     Scolsum), int32 wraparound (join_partitioned_varpayload analog,
@@ -531,7 +543,7 @@ def banded_join_late_aggregate(
 
 
 @functools.partial(jax.jit, static_argnames=("window_blocks",))
-def banded_join_count(r_keys, s_keys, window_blocks: int = 2) -> jnp.ndarray:
+def banded_join_count(r_keys, s_keys, window_blocks: int = 1) -> jnp.ndarray:
     """Match count (int32 wraparound; exact when < 2^31).
 
     Computed as SUM(1*1) over matches so that sentinel padding rows

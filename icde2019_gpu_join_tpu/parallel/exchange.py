@@ -34,12 +34,21 @@ def partition_to_buckets(
     """Local radix partition into [num_buckets, cap] padded buckets.
 
     Returns (bucket_keys, bucket_pays, overflow_count). Padding rows have
-    payload 0 (exact no-op for SUM(Pr*Ps)). Deterministic: stable sort by
-    destination, then a gather into the padded grid.
+    payload 0 (exact no-op for SUM(Pr*Ps)). Deterministic: ONE 2-operand
+    unstable sort of (rotated key, payload) — the rotation packs the
+    destination bits into the top of the word, so sorting the rotated key
+    groups by destination (and orders by full key within, which is as
+    deterministic as the previous stable-by-input-order formulation). The
+    old 3-operand stable (pid, key, pay) sort ran 2-3x slower (measured
+    operand/stability costs, benchmarks/sortgeom_bench.py).
     """
+    from icde2019_gpu_join_tpu.ops.bits import rotate_keys, unrotate_keys
+
     bits = (num_buckets - 1).bit_length()
-    p = partition_ids(keys, bits, first_bit)
-    p_sorted, keys_s, pays_s = jax.lax.sort((p, keys, pays), num_keys=1, is_stable=True)
+    rot = rotate_keys(keys, bits, first_bit)
+    rot_s, pays_s = jax.lax.sort((rot, pays), num_keys=1, is_stable=False)
+    keys_s = unrotate_keys(rot_s, bits, first_bit)
+    p_sorted = partition_ids(keys_s, bits, first_bit)
     probes = jnp.arange(num_buckets + 1, dtype=p_sorted.dtype)
     offsets = jnp.searchsorted(p_sorted, probes, side="left").astype(jnp.int32)
     counts = jnp.diff(offsets)
