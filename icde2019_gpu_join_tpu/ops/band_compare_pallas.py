@@ -180,3 +180,51 @@ def banded_compare_first(sk, rk, gidx, interpret: bool = False):
         interpret=interpret,
     )(sk, rk, gidx)
     return ht.T, ft.T
+
+
+def _interval_select_kernel(pos_ref, lo_ref, hi_ref, p1_ref, p2_ref, p3_ref,
+                            o1_ref, o2_ref, o3_ref, post_s, *, lanes):
+    """Per-slot interval ownership select: for each slot value pos[i,l],
+    find the window column j with lo[i,j] <= pos < hi[i,j] (intervals are
+    disjoint by construction) and emit that column's three payloads.
+    Same transposed-layout structure as _compare_per_s_kernel."""
+    post_s[:] = pos_ref[:].T          # [lanes, CH]
+    lot = lo_ref[:].T                 # [WB, CH]
+    hit = hi_ref[:].T
+    p1t = p1_ref[:].T
+    p2t = p2_ref[:].T
+    p3t = p3_ref[:].T
+
+    def body(l, _):
+        pc = post_s[pl.ds(l, 1), :]               # [1, CH]
+        inb = (lot <= pc) & (pc < hit)            # [WB, CH]
+        o1_ref[pl.ds(l, 1), :] = jnp.sum(
+            jnp.where(inb, p1t, 0), axis=0, keepdims=True)
+        o2_ref[pl.ds(l, 1), :] = jnp.sum(
+            jnp.where(inb, p2t, 0), axis=0, keepdims=True)
+        o3_ref[pl.ds(l, 1), :] = jnp.sum(
+            jnp.where(inb, p3t, 0), axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, lanes, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def banded_interval_select(pos, lo, hi, pay1, pay2, pay3,
+                           interpret: bool = False):
+    """For each slot (i, l): the payload triple of the window column whose
+    [lo, hi) interval contains pos[i, l] (0s when none). All [CH, 128] /
+    [CH, WB] int32. Intervals within a row must be disjoint."""
+    ch, lanes = pos.shape
+    outs = pl.pallas_call(
+        functools.partial(_interval_select_kernel, lanes=lanes),
+        out_shape=(jax.ShapeDtypeStruct((lanes, ch), jnp.int32),) * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        scratch_shapes=[pltpu.VMEM((lanes, ch), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(pos, lo, hi, pay1, pay2, pay3)
+    return outs[0].T, outs[1].T, outs[2].T

@@ -459,11 +459,112 @@ def banded_match_descriptors(
     return h, fm
 
 
+def _extract_blocked(h, fm, off, s_p, r_p, capacity: int, total, s_lo,
+                     rb0, pallas: bool, swb: int = 3, rwb: int = 6):
+    """Block-windowed match extraction: slots [t*128, (t+1)*128) resolve
+    their owning S row and R position against per-block windows, so all
+    data movement is 128-row block gathers + two windowed select kernels —
+    no per-slot searchsorted / element gathers (the slot path measured
+    1-2 Mrows/s on device; this path is the >=100 Mrows/s route).
+
+    Caller contract: descriptor arrays are 128-padded, `s_lo[b]` is the
+    owner row of slot b*128, and the caller has verified both static
+    window-span conditions (see banded_materialize) — otherwise results
+    are wrong. Returns (out_r, out_s), 0-filled outside live slots.
+    """
+    C = capacity
+    Cb = C // _BLK
+    n_s = h.shape[0]
+    n_rp = r_p.shape[0]
+    nb_s = n_s // _BLK
+    nb_r = n_rp // _BLK
+
+    block_starts = jnp.arange(Cb, dtype=jnp.int32) * _BLK
+
+    # S-side windows (block gather; no masking needed except duplicate
+    # clamp at the tail — duplicated rows would double-select)
+    wb0 = s_lo // _BLK
+    karr = jnp.arange(swb, dtype=jnp.int32)
+    wblk = jnp.minimum(wb0[:, None] + karr[None, :], nb_s - 1)   # [Cb, swb]
+    dup = jnp.concatenate([
+        jnp.zeros((Cb, 1), bool), wblk[:, 1:] == wblk[:, :-1]], axis=1)
+    h2 = h.reshape(-1, _BLK)
+    fm2 = fm.reshape(-1, _BLK)
+    off2 = off.reshape(-1, _BLK)
+    sp2 = s_p.reshape(-1, _BLK)
+    wf = wblk.reshape(-1)
+    off_w = jnp.take(off2, wf, axis=0).reshape(Cb, swb * _BLK)
+    h_w = jnp.take(h2, wf, axis=0).reshape(Cb, swb * _BLK)
+    fm_w = jnp.take(fm2, wf, axis=0).reshape(Cb, swb * _BLK)
+    sp_w = jnp.take(sp2, wf, axis=0).reshape(Cb, swb * _BLK)
+    dupm = jnp.repeat(dup, _BLK, axis=1)
+    hi_w = jnp.where(dupm, off_w, off_w + h_w)     # duplicate -> empty
+    fmoff_w = fm_w - off_w
+    ones_w = jnp.ones_like(off_w)
+
+    pos = block_starts[:, None] + jnp.arange(_BLK, dtype=jnp.int32)[None, :]
+    if pallas:
+        from icde2019_gpu_join_tpu.ops.band_compare_pallas import (
+            banded_interval_select)
+
+        # chunk the kernel over slot-block rows: the whole-capacity window
+        # arrays exceed VMEM in one call (observed: 131072x384 = 201MB)
+        CH = min(512, Cb)
+        padc = -Cb % CH
+        def chunked(f, *arrs, nout):
+            ar = [jnp.pad(a, ((0, padc), (0, 0)),
+                          constant_values=(-1 if i == 0 else 0))
+                  for i, a in enumerate(arrs)]
+            ar = [a.reshape(-1, CH, a.shape[1]) for a in ar]
+            outs = jax.lax.map(lambda t: f(*t), tuple(ar))
+            return [o.reshape(-1, o.shape[-1])[:Cb] for o in outs]
+        sp_sel, fmoff_sel, valid = chunked(
+            banded_interval_select, pos, off_w, hi_w, sp_w, fmoff_w, ones_w,
+            nout=3)
+    else:
+        inb = (off_w[:, None, :] <= pos[:, :, None]) & (
+            pos[:, :, None] < hi_w[:, None, :])
+        sp_sel = jnp.sum(jnp.where(inb, sp_w[:, None, :], 0), axis=2)
+        fmoff_sel = jnp.sum(jnp.where(inb, fmoff_w[:, None, :], 0), axis=2)
+        valid = jnp.sum(inb.astype(jnp.int32), axis=2)
+
+    r_pos = fmoff_sel + pos                        # garbage where invalid
+
+    # R-side: equality-select r_p[r_pos] from the caller-provided
+    # per-block anchor (per-S-block min fm over matched rows)
+    rb0 = jnp.clip(rb0, 0, nb_r - 1)
+    kr = jnp.arange(rwb, dtype=jnp.int32)
+    rblk = jnp.minimum(rb0[:, None] + kr[None, :], nb_r - 1)
+    rdup = jnp.concatenate([
+        jnp.zeros((Cb, 1), bool), rblk[:, 1:] == rblk[:, :-1]], axis=1)
+    rp2 = r_p.reshape(-1, _BLK)
+    rf = rblk.reshape(-1)
+    rp_w = jnp.take(rp2, rf, axis=0).reshape(Cb, rwb * _BLK)
+    ridx_w = (rblk[:, :, None] * _BLK
+              + jnp.arange(_BLK, dtype=jnp.int32)[None, None, :]
+              ).reshape(Cb, rwb * _BLK)
+    ridx_w = jnp.where(jnp.repeat(rdup, _BLK, axis=1), jnp.int32(-1), ridx_w)
+
+    if pallas:
+        from icde2019_gpu_join_tpu.ops.band_compare_pallas import (
+            banded_compare_per_s)
+        _, r_sel = chunked(banded_compare_per_s, r_pos, ridx_w, rp_w,
+                           nout=2)
+    else:
+        eq = r_pos[:, :, None] == ridx_w[:, None, :]
+        r_sel = jnp.sum(jnp.where(eq, rp_w[:, None, :], 0), axis=2)
+
+    live = (valid > 0) & (pos < total)
+    out_r = jnp.where(live, r_sel, 0).reshape(-1)
+    out_s = jnp.where(live, sp_sel, 0).reshape(-1)
+    return out_r, out_s
+
+
 @functools.partial(jax.jit, static_argnames=("capacity", "window_blocks",
-                                             "wrap"))
+                                             "wrap", "debug_force"))
 def banded_materialize(
     r_keys, r_pay, s_keys, s_pay, capacity: int, window_blocks: int = 1,
-    wrap: bool = True,
+    wrap: bool = True, debug_force: str = None,
 ):
     """Materialize matched (Pr, Ps) pairs into `capacity`-sized buffers.
 
@@ -476,10 +577,14 @@ def banded_materialize(
     write order is nondeterministic; here it is the engine's S-sorted match
     order). wrap=False truncates instead.
 
-    The ring needs random access into the virtual match stream: slot pos's
-    winning match is m = pos + capacity*floor((total-1-pos)/capacity); its
-    owning S row comes from one searchsorted over the match-offset table,
-    so cost stays O(capacity log n_s) regardless of total."""
+    Extraction strategy: when no ring lap happened (total <= capacity, the
+    common regime) and per-block owner spans fit static windows, the
+    block-windowed fast path (_extract_blocked) runs — block gathers + two
+    Pallas windowed selects, no element gathers. Otherwise the exact
+    slot-path below takes over: slot pos's winning match is
+    m = pos + capacity*floor((total-1-pos)/capacity); its owning S row
+    comes from one searchsorted over the match-offset table, so cost stays
+    O(capacity log n_s) regardless of total."""
     r_sv, r_p = sort_by_key(r_keys, r_pay)
     s_sv, s_p = sort_by_key(s_keys, s_pay)
     n_s_real = s_keys.shape[0]
@@ -491,6 +596,77 @@ def banded_materialize(
     total = jnp.sum(h)  # int32 wraparound, like the reference's cursor
     off = jnp.cumsum(h) - h
     pos = jnp.arange(capacity, dtype=jnp.int32)
+
+    # ---- block-windowed fast path + pre-checks -------------------------
+    SWB, RWB = 4, 6
+    C128 = -(-capacity // _BLK) * _BLK
+    padd = -n_s_real % _BLK
+    h_p = jnp.pad(h, (0, padd))
+    fm_p = jnp.pad(fm, (0, padd))
+    off_p = jnp.pad(off, (0, padd), constant_values=jnp.int32(0x7FFFFFFF))
+    sp_p = jnp.pad(s_p, (0, padd))
+    n_s_pad = n_s_real + padd
+    block_starts = jnp.arange(C128 // _BLK, dtype=jnp.int32) * _BLK
+    # Owner ANCHOR at S-block granularity: rank block starts among the
+    # 128-coarse match-offset table (128x smaller rank sort than ranking
+    # over off itself — the off-ranks sort dominated extraction prep at
+    # 16M). The true owner row lies within 127 rows after the anchor; the
+    # SWB window + span checks absorb the slack.
+    coarse_off = (jnp.cumsum(jnp.sum(h_p.reshape(-1, _BLK), axis=1))
+                  - jnp.sum(h_p.reshape(-1, _BLK), axis=1))
+    s_blk = jnp.clip(
+        _ranks_of_sorted_probes(coarse_off, block_starts,
+                                a_first_on_ties=True) - 1,
+        0, n_s_pad // _BLK - 1)
+    s_lo = s_blk * _BLK
+    s_nxt_blk = jnp.concatenate(
+        [s_blk[1:], jnp.asarray([n_s_pad // _BLK - 1], jnp.int32)])
+    # blocks at/after `total` are dead (all-zero output): exclude them from
+    # the span checks — their "owners" are trailing h=0 rows with fm=MAX
+    livep = block_starts < total
+    # the true owner of slot-block b's last slot lies within anchor block
+    # s_nxt_blk, so the S window must reach its end:
+    ok_s = jnp.max(jnp.where(livep, s_nxt_blk - s_blk, 0)) < SWB - 1
+    # R window bounds from per-S-block summaries over MATCHED rows only
+    # (h=0 rows carry fm=MAX and would poison row-level bounds). fm+h is
+    # monotone over matched rows (runs of distinct keys are disjoint
+    # ascending; equal keys share (fm, h)).
+    h2d = h_p.reshape(-1, _BLK)
+    fm2d = fm_p.reshape(-1, _BLK)
+    matched = h2d > 0
+    blockmin_fm = jnp.min(jnp.where(matched, fm2d, jnp.int32(0x7FFFFFFF)),
+                          axis=1)
+    blockmax_fmh = jnp.max(jnp.where(matched, fm2d + h2d, 0), axis=1)
+    rlo_rows = jnp.take(blockmin_fm, s_blk)          # anchor R row per block
+    rb0 = jnp.clip(rlo_rows // _BLK, 0, r_p.shape[0] // _BLK - 1)
+    rmax_need = jnp.take(blockmax_fmh, s_nxt_blk)
+    ok_r = jnp.max(jnp.where(livep, rmax_need - rb0 * _BLK, 0)) <= RWB * _BLK
+    ok_fast = ok_s & ok_r & (jnp.int32(0) < total)
+    if wrap:
+        ok_fast = ok_fast & (total <= jnp.int32(capacity))
+
+    def fast(_):
+        out_r, out_s = _extract_blocked(
+            h_p, fm_p, off_p, sp_p, r_p, C128, total, s_lo, rb0,
+            pallas=_use_pallas_compare(), swb=SWB, rwb=RWB)
+        return out_r[:capacity], out_s[:capacity]
+
+    def slow(_):
+        return _materialize_slot_path(
+            h, fm, off, s_p, r_p, capacity, total, pos, wrap,
+            n_s_real, r_sv.shape[0])
+
+    if debug_force == "fast":      # tests: prove the fast path alone
+        out_r, out_s = fast(None)
+    elif debug_force == "slow":
+        out_r, out_s = slow(None)
+    else:
+        out_r, out_s = jax.lax.cond(ok_fast, fast, slow, None)
+    return out_r, out_s, total
+
+
+def _materialize_slot_path(h, fm, off, s_p, r_p, capacity, total, pos,
+                           wrap, n_s_real, n_r_pad):
     if wrap:
         # last full-or-partial lap's match index for each ring slot
         laps = jnp.maximum(total - 1 - pos, 0) // jnp.int32(capacity)
@@ -499,11 +675,11 @@ def banded_materialize(
             jnp.searchsorted(off, m, side="right").astype(jnp.int32) - 1,
             0, n_s_real - 1)
         r_pos = jnp.clip(jnp.take(fm, s_row) + m - jnp.take(off, s_row),
-                         0, r_sv.shape[0] - 1)
+                         0, n_r_pad - 1)
         valid = pos < total
         out_r = jnp.where(valid, jnp.take(r_p, r_pos), 0)
         out_s = jnp.where(valid, jnp.take(s_p, s_row), 0)
-        return out_r, out_s, total
+        return out_r, out_s
     # truncating path: expand per-match descriptors by repetition (no
     # data-dependent shapes: total_repeat_length pads/truncates)
     fm_exp = jnp.repeat(fm, h, total_repeat_length=capacity)
@@ -511,11 +687,11 @@ def banded_materialize(
     sp_exp = jnp.repeat(s_p, h, total_repeat_length=capacity)
     npad_exp = jnp.repeat(jnp.ones_like(h), h, total_repeat_length=capacity)
     k = pos - off_exp
-    r_pos = jnp.clip(fm_exp + k, 0, r_sv.shape[0] - 1)
+    r_pos = jnp.clip(fm_exp + k, 0, n_r_pad - 1)
     valid = (pos < total) & (npad_exp > 0)
     out_r = jnp.where(valid, jnp.take(r_p, r_pos), 0)
     out_s = jnp.where(valid, sp_exp, 0)
-    return out_r, out_s, total
+    return out_r, out_s
 
 
 @functools.partial(jax.jit, static_argnames=("window_blocks",))

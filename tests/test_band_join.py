@@ -243,3 +243,82 @@ def test_banded_materialize_wrap_ring(rng):
     assert int(tot) == total
     np.testing.assert_array_equal(np.asarray(out_r), exp_r)
     np.testing.assert_array_equal(np.asarray(out_s), exp_s)
+
+
+def test_interval_select_interpret(rng):
+    from icde2019_gpu_join_tpu.ops.band_compare_pallas import (
+        banded_interval_select)
+
+    ch, wb = 4, 256
+    # disjoint intervals per row
+    widths = rng.randint(0, 5, (ch, wb)).astype(np.int32)
+    lo = np.cumsum(widths, axis=1) - widths
+    hi = lo + widths
+    p1 = rng.randint(1, 100, (ch, wb)).astype(np.int32)
+    p2 = rng.randint(1, 100, (ch, wb)).astype(np.int32)
+    p3 = np.ones((ch, wb), np.int32)
+    pos = rng.randint(0, int(hi.max()) + 3, (ch, 128)).astype(np.int32)
+    o1, o2, o3 = banded_interval_select(
+        jnp.asarray(pos), jnp.asarray(lo), jnp.asarray(hi),
+        jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(p3), interpret=True)
+    inb = (lo[:, None, :] <= pos[:, :, None]) & (pos[:, :, None] < hi[:, None, :])
+    np.testing.assert_array_equal(np.asarray(o1),
+                                  np.where(inb, p1[:, None, :], 0).sum(2))
+    np.testing.assert_array_equal(np.asarray(o2),
+                                  np.where(inb, p2[:, None, :], 0).sum(2))
+    np.testing.assert_array_equal(np.asarray(o3),
+                                  np.where(inb, p3[:, None, :], 0).sum(2))
+
+
+def test_materialize_fast_path_engaged_and_exact(rng):
+    """The block-windowed fast path must engage on matched-dense inputs and
+    agree with the oracle; sparse/filtered inputs fall back, also exact."""
+    from icde2019_gpu_join_tpu.ops.band_join import banded_materialize
+
+    cases = [
+        # dense PK-FK-ish: fast path territory
+        (rng.permutation(4000).astype(np.int32),
+         rng.randint(0, 4000, 6000).astype(np.int32)),
+        # only ~1/50 of S matches: owner spans blow up -> fallback
+        (rng.permutation(100).astype(np.int32),
+         rng.randint(0, 5000, 6000).astype(np.int32)),
+        # heavy duplicates both sides
+        (rng.randint(0, 30, 2000).astype(np.int32),
+         rng.randint(0, 30, 1000).astype(np.int32)),
+    ]
+    for rk, sk in cases:
+        rp = rng.randint(1, 1000, rk.size).astype(np.int32)
+        sp = rng.randint(1, 1000, sk.size).astype(np.int32)
+        expect = oracle.join_materialize(rk, rp, sk, sp)
+        cap = expect.shape[0] + 200
+        out_r, out_s, total = banded_materialize(
+            jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk),
+            jnp.asarray(sp), capacity=cap)
+        assert int(total) == expect.shape[0]
+        pairs = np.stack([np.asarray(out_r), np.asarray(out_s)], axis=1)
+        pairs = pairs[(pairs[:, 0] != 0) | (pairs[:, 1] != 0)]
+        got = pairs[np.lexsort((pairs[:, 1], pairs[:, 0]))]
+        exp = expect[(expect[:, 0] != 0) | (expect[:, 1] != 0)]
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_materialize_fast_path_forced(rng):
+    """Force the block-windowed path alone on a dense case: exactness here
+    (not just via the cond) proves the fast branch itself."""
+    from icde2019_gpu_join_tpu.ops.band_join import banded_materialize
+
+    rk = rng.permutation(4000).astype(np.int32)
+    sk = rng.randint(0, 4000, 6000).astype(np.int32)
+    rp = rng.randint(1, 1000, rk.size).astype(np.int32)
+    sp = rng.randint(1, 1000, sk.size).astype(np.int32)
+    expect = oracle.join_materialize(rk, rp, sk, sp)
+    cap = expect.shape[0] + 200
+    out_r, out_s, total = banded_materialize(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        capacity=cap, debug_force="fast")
+    assert int(total) == expect.shape[0]
+    pairs = np.stack([np.asarray(out_r), np.asarray(out_s)], axis=1)
+    pairs = pairs[(pairs[:, 0] != 0) | (pairs[:, 1] != 0)]
+    got = pairs[np.lexsort((pairs[:, 1], pairs[:, 0]))]
+    exp = expect[(expect[:, 0] != 0) | (expect[:, 1] != 0)]
+    np.testing.assert_array_equal(got, exp)
