@@ -21,11 +21,22 @@ import jax.numpy as jnp
 class Relation:
     """A (keys, payload) column pair. Keys are int32; payload int32.
 
+    KEY-DOMAIN CONTRACT: keys must be >= 0. The engine reserves -1 (pad
+    sentinel) and -2 (pipeline filter sentinel); a negative real key
+    silently corrupts aggregates (deviation from the reference's full
+    uint32 key support — recorded in PARITY.md; the ETHZ generator only
+    emits non-negative keys, so all benchmark workloads comply). Validate
+    with utils.debug.validate_key_domain or TPUJOIN_DEBUG=1.
+
     Payload defaults to row ids (late-materialization mode: the reference's
     join_partitioned_varpayload carries row ids as payloads,
     src/join-primitives.cu:1420-1557)."""
 
     def __init__(self, keys: jnp.ndarray, payload: Optional[jnp.ndarray] = None):
+        import os
+        if os.environ.get("TPUJOIN_DEBUG"):
+            from icde2019_gpu_join_tpu.utils.debug import validate_key_domain
+            validate_key_domain(keys)
         self.keys = keys
         if payload is None:
             payload = jnp.arange(keys.shape[0], dtype=jnp.int32)

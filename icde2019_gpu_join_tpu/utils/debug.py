@@ -60,3 +60,17 @@ def validate_windows(r_sv, s_sv, lo, hi) -> None:
         for j in range(nrb):
             if np.intersect1d(blk, rs[j * 128:(j + 1) * 128]).size:
                 assert lo[b] <= j < hi[b], f"window misses match ({b},{j})"
+
+
+def validate_key_domain(keys) -> None:
+    """Engine key-domain contract: keys must be >= 0 (int32). The engine
+    reserves key -1 (pad sentinel, sortval 0x7FFFFFFF) and -2 (pipeline
+    filter sentinel); a real negative key silently corrupts results (pad
+    rows match it with payload contributions in 'add' mode, and match
+    descriptors count pad matches). The reference supports the full uint32
+    domain — deviation recorded in PARITY.md."""
+    k = np.asarray(keys)
+    if k.size and int(k.min()) < 0:
+        raise ValueError(
+            "negative keys violate the engine key-domain contract "
+            f"(min={int(k.min())}); keys must be >= 0 — see PARITY.md")

@@ -136,3 +136,21 @@ def test_debug_validators(rng):
     debug.validate_partition(rel, rk, rp)
     sv, _ = sort_by_key(jnp.asarray(rk), jnp.asarray(rp))
     debug.validate_sorted(sv)
+
+
+def test_key_domain_validator():
+    import os
+    import pytest as _pytest
+    from icde2019_gpu_join_tpu.utils.debug import validate_key_domain
+    from icde2019_gpu_join_tpu.relation import Relation
+
+    validate_key_domain(np.arange(10, dtype=np.int32))
+    with _pytest.raises(ValueError):
+        validate_key_domain(np.array([3, -1, 5], np.int32))
+    os.environ["TPUJOIN_DEBUG"] = "1"
+    try:
+        with _pytest.raises(ValueError):
+            Relation(jnp.asarray(np.array([-5], np.int32)))
+        Relation(jnp.asarray(np.array([5], np.int32)))
+    finally:
+        del os.environ["TPUJOIN_DEBUG"]
