@@ -166,10 +166,30 @@ def config5(scale):
 
     n_dev = len(jax.devices())
     if n_dev < 2:
-        # re-exec pattern is heavyweight; run in-process on CPU devices
-        _report(5, "distributed_shuffle", 0, 0.0, True,
-                {"note": "single real chip: validated via dryrun_multichip "
-                         "on 8 virtual CPU devices (tests/test_distributed.py)"})
+        # Leg A: the distributed exchange path ON THE REAL CHIP (1-device
+        # mesh: partition_to_buckets + all_to_all + banded join execute on
+        # TPU; the collective is degenerate but the code path is real).
+        import jax.numpy as jnp
+        from icde2019_gpu_join_tpu.parallel.dist_join import (
+            distributed_join_aggregate)
+        from icde2019_gpu_join_tpu.parallel.mesh import make_mesh
+        from icde2019_gpu_join_tpu.ops.join_sorted import sort_merge_aggregate
+
+        n1 = 1 << min(scale, 26)
+        rk, sk, rkd, skd = _join_inputs(n1, n1, 0.0)
+        rp = jnp.ones(n1, jnp.int32)
+        sp = jnp.ones(n1, jnp.int32)
+        mesh = make_mesh(1)
+        agg, ov = distributed_join_aggregate(rkd, rp, skd, sp, mesh=mesh)
+        t0 = time.perf_counter()
+        agg, ov = distributed_join_aggregate(rkd, rp, skd, sp, mesh=mesh)
+        agg, ov = int(agg), int(ov)
+        dt = time.perf_counter() - t0
+        expect = int(sort_merge_aggregate(rkd, rp, skd, sp))
+        _report(5, f"distributed_exchange_1chip_{n1>>20}Mx{n1>>20}M",
+                2 * n1, dt, agg == expect and ov == 0,
+                {"overflow": ov})
+        # Leg B: multi-device shapes+correctness via the virtual CPU mesh
         import subprocess
         code = (
             "import os; os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=8';\n"
@@ -180,6 +200,9 @@ def config5(scale):
         r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                            text=True, timeout=600)
         print(r.stdout.strip() or r.stderr.strip()[-400:], flush=True)
+        print("weak-scaling curves: benchmarks/weak_scaling.py "
+              "(virtual mesh; real-ICI efficiency needs a pod slice)",
+              flush=True)
         return
     import jax.numpy as jnp
     from icde2019_gpu_join_tpu.parallel.dist_join import distributed_join_aggregate

@@ -51,3 +51,36 @@ def perfect_hash_probe_materialize(
 def perfect_hash_build_occupancy(r_keys: jnp.ndarray, domain: int) -> jnp.ndarray:
     occ = jnp.zeros((domain,), dtype=jnp.bool_)
     return occ.at[r_keys].set(True, mode="drop")
+
+
+def global_ht_join_aggregate(r_keys, r_pay, s_keys, s_pay,
+                             log_buckets: int = 13):
+    """Global chained-hash-table join baseline (build_ht_chains /
+    chains_probing analog, src/join-primitives.cu:681-742).
+
+    The reference builds ONE global bucket-chain table over hasht(key)'s
+    low bits and walks per-bucket chains at probe time. With the identity
+    hash, "bucket = low key bits" IS a 1-pass radix partition, and the
+    chain walk is a per-bucket scan — so the TPU-idiomatic equivalent is
+    the engine's CSR partition (ops/partition.radix_partition) + blocked
+    per-bucket compare (ops/probe.blocked_probe_aggregate). This wrapper
+    exists to name that correspondence as the C14 baseline API.
+
+    Returns int32 SUM(Pr*Ps) with uint32 wraparound.
+    """
+    import numpy as np
+
+    from icde2019_gpu_join_tpu.ops import probe as probe_ops
+    from icde2019_gpu_join_tpu.ops.partition import radix_partition
+
+    pr = radix_partition(r_keys, r_pay, log_buckets, 0)
+    ps = radix_partition(s_keys, s_pay, log_buckets, 0)
+    plan = probe_ops.plan_probe(
+        np.asarray(pr.counts), np.asarray(pr.offsets[:-1]),
+        np.asarray(ps.counts), np.asarray(ps.offsets[:-1]),
+        1024, 1024,
+    )
+    return probe_ops.blocked_probe_aggregate(
+        pr.keys, pr.payload, ps.keys, ps.payload, *plan.as_device(),
+        tile_r=plan.tile_r, tile_s=plan.tile_s,
+    )

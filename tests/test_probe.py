@@ -108,3 +108,17 @@ def test_blocked_probe_late_aggregate(rng):
     expect = oracle.join_late_materialize_sum(
         rk, r_rowid, sk, s_rowid, r_cols, s_cols)
     assert got == expect
+
+
+def test_global_ht_baseline(rng):
+    """C14 global chained-HT baseline analog vs oracle."""
+    from icde2019_gpu_join_tpu.ops.perfect_hash import global_ht_join_aggregate
+
+    rk = rng.randint(0, 1 << 20, 20_000).astype(np.int32)
+    sk = rng.randint(0, 1 << 20, 30_000).astype(np.int32)
+    rp = rng.randint(-50, 50, rk.size).astype(np.int32)
+    sp = rng.randint(-50, 50, sk.size).astype(np.int32)
+    got = int(global_ht_join_aggregate(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        log_buckets=8))
+    assert got == oracle.join_aggregate(rk, rp, sk, sp)
