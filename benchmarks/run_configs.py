@@ -181,6 +181,7 @@ def config5(scale):
         sp = jnp.ones(n1, jnp.int32)
         mesh = make_mesh(1)
         agg, ov = distributed_join_aggregate(rkd, rp, skd, sp, mesh=mesh)
+        int(agg)   # sync the warm-up (compile + first execution) fully
         t0 = time.perf_counter()
         agg, ov = distributed_join_aggregate(rkd, rp, skd, sp, mesh=mesh)
         agg, ov = int(agg), int(ov)

@@ -21,6 +21,7 @@ returned so callers can assert slack sufficiency outside jit.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Optional, Tuple
 
@@ -66,8 +67,18 @@ def distributed_join_aggregate(
     n_r, n_s = r_keys.shape[0], s_keys.shape[0]
     cap_r = max(8, int(slack * (n_r // nd) / nd) + 1)
     cap_s = max(8, int(slack * (n_s // nd) / nd) + 1)
+    fn = _aggregate_fn(mesh, axis, first_bit, cap_r, cap_s)
+    return fn(r_keys, r_pay, s_keys, s_pay)
 
-    fn = jax.jit(
+
+@functools.lru_cache(maxsize=64)
+def _aggregate_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
+                  cap_s: int):
+    """Cached jitted shard_map — building jit(shard_map(partial(...)))
+    per call defeats jax's jit cache (fresh callable identity every time)
+    and re-traces/recompiles on every invocation (measured: a warm 16M
+    1-chip exchange join took 943s instead of ~1s)."""
+    return jax.jit(
         jax.shard_map(
             partial(
                 _local_join_after_exchange,
@@ -76,9 +87,12 @@ def distributed_join_aggregate(
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(), P()),
+            # Pallas out_shapes carry no vma annotation; the TPU backend's
+            # check_vma rejects them inside shard_map (CPU paths skip
+            # Pallas, so virtual-mesh tests never see this)
+            check_vma=False,
         )
     )
-    return fn(r_keys, r_pay, s_keys, s_pay)
 
 
 def _local_segmented(rk, rp, sk, sp, axis, first_bit, cap_r, cap_s, num_segments):
@@ -133,8 +147,15 @@ def distributed_join_segmented(
     n_r, n_s = r_keys.shape[0], s_keys.shape[0]
     cap_r = max(8, int(slack * (n_r // nd) / nd) + 1)
     cap_s = max(8, int(slack * (n_s // nd) / (nd * num_segments)) + 1)
+    fn = _segmented_fn(mesh, axis, first_bit, cap_r, cap_s, num_segments)
+    return fn(r_keys, r_pay, s_keys, s_pay)
 
-    fn = jax.jit(
+
+@functools.lru_cache(maxsize=64)
+def _segmented_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
+                  cap_s: int, num_segments: int):
+    """Cached jitted shard_map (see _aggregate_fn)."""
+    return jax.jit(
         jax.shard_map(
             partial(
                 _local_segmented,
@@ -144,9 +165,9 @@ def distributed_join_segmented(
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(), P()),
+            check_vma=False,
         )
     )
-    return fn(r_keys, r_pay, s_keys, s_pay)
 
 
 def _two_level_local(rk, rp, sk, sp, host_axis, chip_axis, first_bit, caps):
@@ -199,17 +220,25 @@ def distributed_join_aggregate_2level(
     cap_s_h = max(8, int(slack * shard_s / nh) + 1)
     cap_r_c = max(8, int(slack * (cap_r_h * nh) / nc) + 1)
     cap_s_c = max(8, int(slack * (cap_s_h * nh) / nc) + 1)
+    fn = _two_level_fn(mesh, host_axis, chip_axis, first_bit,
+                       (cap_r_h, cap_s_h, cap_r_c, cap_s_c))
+    return fn(r_keys, r_pay, s_keys, s_pay)
 
-    fn = jax.jit(
+
+@functools.lru_cache(maxsize=64)
+def _two_level_fn(mesh: Mesh, host_axis: str, chip_axis: str,
+                  first_bit: int, caps):
+    """Cached jitted shard_map (see _aggregate_fn)."""
+    return jax.jit(
         jax.shard_map(
             partial(
                 _two_level_local,
                 host_axis=host_axis, chip_axis=chip_axis, first_bit=first_bit,
-                caps=(cap_r_h, cap_s_h, cap_r_c, cap_s_c),
+                caps=caps,
             ),
             mesh=mesh,
             in_specs=(P((host_axis, chip_axis)),) * 4,
             out_specs=(P(), P()),
+            check_vma=False,
         )
     )
-    return fn(r_keys, r_pay, s_keys, s_pay)
