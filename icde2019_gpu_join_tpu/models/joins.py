@@ -276,6 +276,26 @@ class ClusteredJoin:
         return JoinResult(aggregate=int(agg), timer=timer)
 
 
+def dispatch_regime(n_r: int, n_s: int,
+                    config: Optional[EngineConfig] = None) -> str:
+    """Which regime the dispatcher will pick: 'join1' (in-memory),
+    'streaming' (Join3 analog) or 'coprocess' (Join2 analog). Mirrors
+    hj_ClusteredProbe's size test (src/hash_join_clustered_probe.cu:
+    2001-2009) plus the placement policy (MEM_TYPE analog): a relation
+    pinned to host memory routes through the streamed regimes even if it
+    would fit in HBM."""
+    config = config or EngineConfig()
+    limit = config.resident_limit_rows
+    host_kinds = ("host", "pinned_host", "unpinned_host")
+    s_resident = n_s <= limit and config.probe_placement not in host_kinds
+    r_resident = n_r <= limit and config.build_placement not in host_kinds
+    if r_resident and s_resident:
+        return "join1"
+    if r_resident:
+        return "streaming"
+    return "coprocess"
+
+
 def clustered_probe_join(
     r: Relation, s: Relation, config: Optional[EngineConfig] = None,
     materialize: bool = False,
@@ -285,17 +305,11 @@ def clustered_probe_join(
     in-memory join; probe side larger than resident limit -> streaming
     segments; build side larger -> host co-partitioning."""
     config = config or EngineConfig()
-    limit = config.resident_limit_rows
-    host_kinds = ("host", "pinned_host", "unpinned_host")
-    # Placement policy (MEM_TYPE analog) joins the size check: a relation
-    # pinned to host memory routes through the streaming / co-processing
-    # regimes even if it would fit in HBM.
-    s_resident = s.num_rows <= limit and config.probe_placement not in host_kinds
-    r_resident = r.num_rows <= limit and config.build_placement not in host_kinds
-    if r_resident and s_resident:
+    regime = dispatch_regime(r.num_rows, s.num_rows, config)
+    if regime == "join1":
         engine = ClusteredJoin(config)
         return engine.materialize(r, s) if materialize else engine.aggregate(r, s)
-    if r_resident:  # S oversized: stream probe side (Join3 analog)
+    if regime == "streaming":  # S oversized: stream probe side (Join3 analog)
         from icde2019_gpu_join_tpu.models.streaming import streaming_join_aggregate
 
         return streaming_join_aggregate(r, s, config)

@@ -639,7 +639,13 @@ def banded_materialize(
     blockmax_fmh = jnp.max(jnp.where(matched, fm2d + h2d, 0), axis=1)
     rlo_rows = jnp.take(blockmin_fm, s_blk)          # anchor R row per block
     rb0 = jnp.clip(rlo_rows // _BLK, 0, r_p.shape[0] // _BLK - 1)
-    rmax_need = jnp.take(blockmax_fmh, s_nxt_blk)
+    # The R-span check must cover the WHOLE anchor range [s_blk, s_nxt_blk]:
+    # blockmax_fmh is 0 for blocks with no matched rows, so indexing
+    # s_nxt_blk alone is vacuous when that block is all-unmatched while
+    # wide-fm matches sit inside the anchor block itself. fm+h is monotone
+    # over matched rows, so cummax at s_nxt_blk == max over all blocks
+    # <= s_nxt_blk, which bounds every owner row the slot block can touch.
+    rmax_need = jnp.take(jax.lax.cummax(blockmax_fmh), s_nxt_blk)
     ok_r = jnp.max(jnp.where(livep, rmax_need - rb0 * _BLK, 0)) <= RWB * _BLK
     ok_fast = ok_s & ok_r & (jnp.int32(0) < total)
     if wrap:

@@ -166,8 +166,12 @@ def radix_sort_via_grouping(keys, pays, bits: int = 5, chunk: int = 4096,
     P = 1 << bits
     nb = g.keys.shape[0] // _BLK
     if lmax_blocks is None:
-        # 2x uniform expectation + slack; static bound
-        lmax_blocks = max(2 * nb // P + 16, 1)
+        # 2x uniform expectation over the partitions actually REACHABLE by
+        # non-negative keys (the sign-bit flip of _unsigned_view maps them
+        # all to pids >= P/2, so only P/2 partitions fill), plus one
+        # boundary block per (chunk, partition) run of those partitions.
+        C = -(-keys.shape[0] // chunk)
+        lmax_blocks = max(2 * nb // max(P // 2, 1) + C + 16, 1)
     pb = g.block_offsets[1:] - g.block_offsets[:-1]
     overflow = jnp.sum(jnp.maximum(pb - lmax_blocks, 0))
     jidx = jax.lax.broadcasted_iota(jnp.int32, (P, lmax_blocks), 1)

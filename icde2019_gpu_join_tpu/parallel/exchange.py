@@ -37,9 +37,11 @@ def partition_to_buckets(
     payload 0 (exact no-op for SUM(Pr*Ps)). Deterministic: ONE 2-operand
     unstable sort of (rotated key, payload) — the rotation packs the
     destination bits into the top of the word, so sorting the rotated key
-    groups by destination (and orders by full key within, which is as
-    deterministic as the previous stable-by-input-order formulation). The
-    old 3-operand stable (pid, key, pay) sort ran 2-3x slower (measured
+    groups by destination and orders by full key within. Deterministic as a
+    MULTISET: bucket contents, counts, and commutative aggregates are fully
+    determined; within-bucket row order among duplicate keys is unspecified
+    under the unstable sort (the previous stable 3-operand (pid, key, pay)
+    sort fixed that order too, but ran 2-3x slower — measured
     operand/stability costs, benchmarks/sortgeom_bench.py).
     """
     from icde2019_gpu_join_tpu.ops.bits import rotate_keys, unrotate_keys

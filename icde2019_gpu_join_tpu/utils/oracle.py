@@ -145,20 +145,29 @@ def filter_rows(keys: np.ndarray, vals: np.ndarray, lo: int, hi: int):
 
 def filter_probe_groupby(r_keys, r_pay, s_keys, s_filter, s_gid, lo, hi,
                          num_groups):
-    """Oracle for the fused filter -> PK-probe -> group-by pipeline:
-    per-group COUNT of matches and SUM(r_pay) (int32 wraparound), over S rows
-    passing lo <= filter < hi. R must be unique-keyed (PK)."""
+    """Oracle for the fused filter -> probe -> group-by pipeline:
+    per-group COUNT of matching (r, s) pairs and SUM(r_pay) over those
+    pairs (int32 wraparound), over S rows passing lo <= filter < hi.
+    R may contain duplicate keys: an S row matching k R rows contributes
+    k to its group's COUNT and the sum of all k payloads to its SUM."""
     order = np.argsort(r_keys, kind="stable")
     rk = r_keys[order]
-    pos = np.searchsorted(rk, s_keys)
-    pos_c = np.clip(pos, 0, rk.size - 1)
-    hit = rk[pos_c] == s_keys
-    keep = (s_filter >= lo) & (s_filter < hi) & hit
-    vals = np.where(keep, r_pay[order][pos_c].astype(np.uint32), 0)
-    counts = np.bincount(s_gid[keep], minlength=num_groups).astype(np.int32)
-    # np.add.at is ~100x slower than bincount-with-weights; float64 weights
-    # are exact for the integer sums involved (< 2^53), mod 2^32 at the end.
-    sums64 = np.bincount(s_gid, weights=vals.astype(np.float64),
-                         minlength=num_groups)
+    rp = r_pay[order].astype(np.uint32)
+    pref = np.concatenate([np.zeros(1, np.uint64),
+                           np.cumsum(rp.astype(np.uint64))])
+    lo_i = np.searchsorted(rk, s_keys, side="left")
+    hi_i = np.searchsorted(rk, s_keys, side="right")
+    keep = (s_filter >= lo) & (s_filter < hi)
+    h = np.where(keep, hi_i - lo_i, 0)                       # matches per S row
+    t = np.where(keep, pref[hi_i] - pref[lo_i], 0)           # payload sums
+    # bincount-with-weights (np.add.at is ~100x slower); float64 weights are
+    # exact for the per-row values involved (< 2^53); mod 2^32 at the end.
+    counts64 = np.bincount(s_gid, weights=h.astype(np.float64),
+                           minlength=num_groups)
+    sums64 = np.bincount(
+        s_gid, weights=(t & np.uint64(0xFFFFFFFF)).astype(np.float64),
+        minlength=num_groups)
+    counts = (counts64.astype(np.uint64) & np.uint64(0xFFFFFFFF)).astype(
+        np.uint32)
     sums = (sums64.astype(np.uint64) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    return counts, sums.astype(np.int32)
+    return counts.view(np.int32), sums.view(np.int32)

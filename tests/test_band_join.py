@@ -126,6 +126,36 @@ def test_banded_materialize(rng):
     assert np.array_equal(got, expect)
 
 
+def test_banded_materialize_sparse_wide_fm_guard(rng):
+    """Regression (round-2 advisor, high): the fast-path R-span check used
+    blockmax_fmh[s_nxt_blk] alone — vacuously 0 when the clipped anchor
+    block holds no matched rows — while a wide-fm match inside the anchor
+    block itself escaped the span check and was silently dropped by
+    _extract_blocked's static R window. Scenario: unique-key R, a selective
+    S whose last matched row has fm far beyond the window, plus trailing
+    unmatched rows so s_nxt_blk clips to an all-unmatched block."""
+    from icde2019_gpu_join_tpu.ops.band_join import banded_materialize
+
+    rk = np.arange(20000, dtype=np.int32)
+    rp = (rk + 1).astype(np.int32)
+    # two matches: fm=0 and fm=19999; then ~300 trailing non-matching keys
+    # that sort after all R keys
+    sk = np.concatenate([np.asarray([0, 19999], np.int32),
+                         np.arange(30000, 30300, dtype=np.int32)])
+    sp = np.full(sk.size, 7, np.int32)
+    expect = oracle.join_materialize(rk, rp, sk, sp)
+    assert expect.shape[0] == 2
+    out_r, out_s, total = banded_materialize(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        capacity=128)
+    assert int(total) == 2
+    pairs = np.stack([np.asarray(out_r), np.asarray(out_s)], axis=1)
+    pairs = pairs[(pairs[:, 0] != 0) | (pairs[:, 1] != 0)]
+    got = pairs[np.lexsort((pairs[:, 1], pairs[:, 0]))]
+    assert np.array_equal(got, expect), (
+        "wide-fm matched row dropped by materialize fast path")
+
+
 def test_banded_match_descriptors(rng):
     from icde2019_gpu_join_tpu.ops.band_join import (
         banded_match_descriptors, sort_by_key)

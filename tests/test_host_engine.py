@@ -69,10 +69,12 @@ def test_knapsack_batches_capacity_respected(lib):
     for b in range(batch_of.max() + 1):
         members = np.nonzero(batch_of == b)[0]
         assert members.size > 0, f"empty batch {b}"
-        # every batch fits the resident capacity (oversized single items
-        # get their own batch)
+        # every batch fits the resident capacity exactly (single items whose
+        # weight exceeds capacity get clamped and fill a batch alone — the
+        # only case a batch's TRUE weight may exceed cap, carved out by the
+        # size>1 guard)
         if members.size > 1:
-            assert weights[members].sum() <= cap + 1
+            assert weights[members].sum() <= cap
 
 
 def test_knapsack_single_oversized_item(lib):
