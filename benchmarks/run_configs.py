@@ -171,25 +171,45 @@ def config5(scale):
         # TPU; the collective is degenerate but the code path is real).
         import jax.numpy as jnp
         from icde2019_gpu_join_tpu.parallel.dist_join import (
-            distributed_join_aggregate)
+            distributed_join_aggregate, distributed_join_segmented)
         from icde2019_gpu_join_tpu.parallel.mesh import make_mesh
         from icde2019_gpu_join_tpu.ops.join_sorted import sort_merge_aggregate
+        from icde2019_gpu_join_tpu.utils import datasets
 
         n1 = 1 << min(scale, 26)
+        mesh = make_mesh(1)
+
+        def leg(tag, rkd, rp, skd, sp, run):
+            agg, ov = run()
+            int(agg)   # sync warm-up (compile + first run) fully
+            t0 = time.perf_counter()
+            agg, ov = run()
+            agg, ov = int(agg), int(ov)
+            dt = time.perf_counter() - t0
+            expect = int(sort_merge_aggregate(rkd, rp, skd, sp))
+            _report(5, tag, rkd.shape[0] + skd.shape[0], dt,
+                    agg == expect and ov == 0, {"overflow": ov})
+
         rk, sk, rkd, skd = _join_inputs(n1, n1, 0.0)
         rp = jnp.ones(n1, jnp.int32)
         sp = jnp.ones(n1, jnp.int32)
-        mesh = make_mesh(1)
-        agg, ov = distributed_join_aggregate(rkd, rp, skd, sp, mesh=mesh)
-        int(agg)   # sync the warm-up (compile + first execution) fully
-        t0 = time.perf_counter()
-        agg, ov = distributed_join_aggregate(rkd, rp, skd, sp, mesh=mesh)
-        agg, ov = int(agg), int(ov)
-        dt = time.perf_counter() - t0
-        expect = int(sort_merge_aggregate(rkd, rp, skd, sp))
-        _report(5, f"distributed_exchange_1chip_{n1>>20}Mx{n1>>20}M",
-                2 * n1, dt, agg == expect and ov == 0,
-                {"overflow": ov})
+        # default pipeline: segmented exchange/probe, exact pre-pass caps
+        leg(f"distributed_exchange_1chip_{n1>>20}Mx{n1>>20}M",
+            rkd, rp, skd, sp,
+            lambda: distributed_join_segmented(rkd, rp, skd, sp, mesh=mesh,
+                                               num_segments=4))
+        # one-shot (non-segmented) variant for comparison
+        leg(f"distributed_oneshot_1chip_{n1>>20}Mx{n1>>20}M",
+            rkd, rp, skd, sp,
+            lambda: distributed_join_aggregate(rkd, rp, skd, sp, mesh=mesh))
+        # Zipf z=1.05 exchange leg: skew inside the exchange (heavy keys
+        # funnel to one destination; exact caps absorb it)
+        rkz, skz = datasets.make_pk_fk(n1, n1, skew=1.05, seed=777)
+        rkzd, skzd = jnp.asarray(rkz), jnp.asarray(skz)
+        leg(f"distributed_zipf_1chip_{n1>>20}Mx{n1>>20}M",
+            rkzd, rp, skzd, sp,
+            lambda: distributed_join_segmented(rkzd, rp, skzd, sp,
+                                               mesh=mesh, num_segments=4))
         # Leg B: multi-device shapes+correctness via the virtual CPU mesh
         import subprocess
         code = (

@@ -43,7 +43,6 @@ def main():
     from icde2019_gpu_join_tpu.utils import datasets
 
     results = []
-    base_rate = None
     for nd in (1, 2, 4, 8):
         n = per_dev * nd
         rk, sk = datasets.make_pk_fk(n, n, seed=777)
@@ -68,14 +67,13 @@ def main():
         cnt = np.searchsorted(rs, sk, "right") - np.searchsorted(rs, sk, "left")
         expect = int(np.int32(np.uint32(np.sum(cnt, dtype=np.uint64)
                                         & 0xFFFFFFFF)))
-        rate = 2 * n / dt / 1e6
-        if nd == 1:
-            base_rate = rate / nd
+        # NOTE (round-2 VERDICT): no efficiency column on the virtual mesh —
+        # 8 "devices" timeshare one CPU, so a wall-clock ratio carries no
+        # ICI signal and invites misreading. Correctness + overflow are the
+        # deliverables here; wall seconds are recorded for reference only.
         leg = {
-            "devices": nd, "rows_per_dev": per_dev, "seconds": round(dt, 3),
-            "mrows_s": round(rate, 1),
-            "per_dev_mrows_s": round(rate / nd, 1),
-            "weak_scaling_eff": round((rate / nd) / base_rate, 3),
+            "devices": nd, "rows_per_dev": per_dev,
+            "wall_seconds_virtual_mesh": round(dt, 3),
             "overflow": ov, "correct": agg == expect,
         }
         results.append(leg)

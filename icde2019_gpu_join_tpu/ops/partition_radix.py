@@ -145,6 +145,34 @@ def radix_group(keys, pays, bits: int, chunk: int = 4096,
                           counts.astype(jnp.int32), block_offsets)
 
 
+def grouped_block_counts(keys: jnp.ndarray, bits: int,
+                         chunk: int = 4096) -> jnp.ndarray:
+    """[P] int32: exactly how many destination blocks radix_group(keys,
+    ..., bits, chunk) will lay out per partition (same C/L geometry, same
+    per-(chunk, partition) boundary-block padding, same sentinel-pad
+    accounting). Needs only histograms — no sort, no data movement — so
+    an exchange planner can derive exact grouped-frame caps in a cheap
+    pre-pass (parallel/plan.plan_cap_grouped)."""
+    n = keys.shape[0]
+    P = 1 << bits
+    L = min(chunk, -(-max(n, 1) // _BLK) * _BLK)
+    C = -(-n // L)
+    pad = C * L - n
+    u = _unsigned_view(keys)
+    pid = jax.lax.shift_right_logical(u, jnp.int32(32 - bits)).astype(
+        jnp.int32)
+    if pad:
+        pid = jnp.concatenate(
+            [pid, jnp.full((pad,), P - 1, jnp.int32)])  # sentinels -> P-1
+    pid2 = pid.reshape(C, L)
+    oh = (pid2[:, :, None] == jnp.arange(P, dtype=jnp.int32)[None, None, :])
+    hist = jnp.sum(oh.astype(jnp.int32), axis=1)              # [C, P]
+    starts = jnp.cumsum(hist, axis=1) - hist
+    g0 = starts + jnp.arange(C, dtype=jnp.int32)[:, None] * L
+    nblk = jnp.where(hist > 0, (g0 + hist - 1) // _BLK - g0 // _BLK + 1, 0)
+    return jnp.sum(nblk, axis=0).astype(jnp.int32)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("bits", "chunk", "lmax_blocks"))
 def radix_sort_via_grouping(keys, pays, bits: int = 5, chunk: int = 4096,

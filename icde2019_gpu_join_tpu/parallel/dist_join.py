@@ -5,49 +5,103 @@ single-GPU; its co-processing pipeline outOfGPU_Join2 is the structural
 template — host partitions <-> chip shards, PCIe streams <-> ICI collectives):
 
   1. each chip holds a shard of R and S (data-parallel, PartitionSpec("x"));
-  2. local radix partition by destination chip = low log2(n) bits of the
-     radix field (the global level of a two-level radix scheme);
-  3. ICI all-to-all delivers (key, payload) buckets — the distributed radix
-     shuffle;
+  2. local partition by destination chip = low log2(n) bits of the radix
+     field (the global level of a two-level radix scheme) — grouped
+     (radix_group, 1.9x faster, no within-bucket order) or sort-based;
+  3. ICI all-to-all delivers (key, payload) bucket frames — the distributed
+     radix shuffle;
   4. each chip joins its received sub-relations locally (remaining radix
-     bits), payload-0 padding rows contribute nothing;
+     bits); payload-0 padding rows contribute nothing;
   5. psum produces the global aggregate (int32 wraparound is associative &
      commutative, so sharding does not change the result).
 
+Caps: by default (`slack=None`) bucket caps come from an EXACT histogram
+pre-pass (parallel/plan.py) — overflow is impossible by construction and
+all_to_all volume tracks the true max bucket fill instead of a guessed
+multiple. An explicit `slack` float skips the pre-pass (one less device
+round-trip) and relies on AUTO-REPLAN: if the padded exchange overflows,
+the wrapper recomputes exact caps and reruns — overflow is never silently
+dropped and never needs a caller-side assert.
+
 The local join inside shard_map is the banded sort-merge engine
-(ops/band_join.py) — fully jittable, skew-robust, no host planning. Overflow counts from the padded exchange are psum'd and
-returned so callers can assert slack sufficiency outside jit.
+(ops/band_join.py) — fully jittable, skew-robust, no host planning.
 """
 
 from __future__ import annotations
 
 import functools
+import warnings
 from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from icde2019_gpu_join_tpu.ops.band_join import banded_join_aggregate
+from icde2019_gpu_join_tpu.parallel import plan as xplan
 from icde2019_gpu_join_tpu.parallel.exchange import (
     all_to_all_exchange,
+    all_to_all_meta,
+    frame_rows,
+    frames_valid_mask,
     partition_to_buckets,
+    partition_to_buckets_grouped,
 )
 
+_BLK = 128
 
-def _local_join_after_exchange(rk, rp, sk, sp, axis: str, first_bit: int, cap_r: int, cap_s: int):
+
+def _round128(x: int) -> int:
+    return max(_BLK, -(-int(x) // _BLK) * _BLK)
+
+
+def _bucketize(method: str, chunk: int):
+    if method == "group":
+        return partial(partition_to_buckets_grouped, chunk=chunk)
+    return partition_to_buckets
+
+
+def _local_join_after_exchange(rk, rp, sk, sp, axis: str, first_bit: int,
+                               cap_r: int, cap_s: int, method: str,
+                               chunk: int):
     nd = jax.lax.axis_size(axis)
-    bk_r, bp_r, ov_r = partition_to_buckets(rk, rp, nd, cap_r, first_bit)
-    bk_s, bp_s, ov_s = partition_to_buckets(sk, sp, nd, cap_s, first_bit)
-    gk_r, gp_r = all_to_all_exchange(bk_r, bp_r, axis)
-    gk_s, gp_s = all_to_all_exchange(bk_s, bp_s, axis)
+    part = _bucketize(method, chunk)
+    fr = part(rk, rp, nd, cap_r, first_bit)
+    fs = part(sk, sp, nd, cap_s, first_bit)
+    gk_r, gp_r = all_to_all_exchange(fr.keys, fr.pays, axis)
+    gk_s, gp_s = all_to_all_exchange(fs.keys, fs.pays, axis)
     agg = banded_join_aggregate(
         gk_r.reshape(-1), gp_r.reshape(-1), gk_s.reshape(-1), gp_s.reshape(-1)
     )
     agg = jax.lax.psum(agg.astype(jnp.uint32), axis).astype(jnp.int32)
-    overflow = jax.lax.psum(ov_r + ov_s, axis)
+    overflow = jax.lax.psum(fr.overflow + fs.overflow, axis)
     return agg, overflow
+
+
+def _slack_caps(slack: float, n_r: int, n_s: int, nd: int,
+                segments: int = 1) -> Tuple[int, int]:
+    cap_r = _round128(int(slack * (n_r // nd) / nd) + 1)
+    cap_s = _round128(int(slack * (n_s // nd) / (nd * segments)) + 1)
+    return cap_r, cap_s
+
+
+def _exact_caps(r_keys, s_keys, mesh, axis, nd, first_bit, method, chunk,
+                segments: int = 1) -> Tuple[int, int]:
+    if method == "group":
+        cap_r = xplan.plan_cap_grouped(r_keys, mesh, axis, nd, first_bit,
+                                       chunk)
+    else:
+        cap_r = xplan.plan_cap(r_keys, mesh, axis, nd, first_bit)
+    if segments > 1:
+        cap_s = xplan.plan_cap_segmented(s_keys, mesh, axis, nd, first_bit,
+                                         segments, method, chunk)
+    elif method == "group":
+        cap_s = xplan.plan_cap_grouped(s_keys, mesh, axis, nd, first_bit,
+                                       chunk)
+    else:
+        cap_s = xplan.plan_cap(s_keys, mesh, axis, nd, first_bit)
+    return cap_r, cap_s
 
 
 def distributed_join_aggregate(
@@ -58,22 +112,40 @@ def distributed_join_aggregate(
     mesh: Mesh,
     axis: str = "x",
     first_bit: int = 0,
-    slack: float = 2.0,
+    slack: Optional[float] = None,
+    method: str = "group",
+    chunk: int = 4096,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Global SUM(Pr*Ps) over a 1D mesh. Inputs are global arrays (sharded or
-    shardable over `axis`; lengths must divide the mesh size). Returns
-    (aggregate int32, overflow row count — must be 0 for an exact result)."""
+    """Global SUM(Pr*Ps) over a 1D mesh. Inputs are global arrays (sharded
+    or shardable over `axis`; lengths must divide the mesh size). Returns
+    (aggregate int32, overflow row count — 0 for an exact result; exact by
+    construction when slack is None, auto-replanned otherwise)."""
     nd = mesh.shape[axis]
     n_r, n_s = r_keys.shape[0], s_keys.shape[0]
-    cap_r = max(8, int(slack * (n_r // nd) / nd) + 1)
-    cap_s = max(8, int(slack * (n_s // nd) / nd) + 1)
-    fn = _aggregate_fn(mesh, axis, first_bit, cap_r, cap_s)
-    return fn(r_keys, r_pay, s_keys, s_pay)
+
+    def run(cap_r, cap_s):
+        fn = _aggregate_fn(mesh, axis, first_bit, cap_r, cap_s, method,
+                           chunk)
+        return fn(r_keys, r_pay, s_keys, s_pay)
+
+    if slack is None:
+        caps = _exact_caps(r_keys, s_keys, mesh, axis, nd, first_bit,
+                           method, chunk)
+        return run(*caps)
+    agg, ov = run(*_slack_caps(slack, n_r, n_s, nd))
+    if int(ov) > 0:
+        warnings.warn(
+            f"exchange overflow ({int(ov)} rows) with slack={slack}; "
+            "replanning with exact histogram caps and rerunning")
+        caps = _exact_caps(r_keys, s_keys, mesh, axis, nd, first_bit,
+                           method, chunk)
+        agg, ov = run(*caps)
+    return agg, ov
 
 
 @functools.lru_cache(maxsize=64)
 def _aggregate_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
-                  cap_s: int):
+                  cap_s: int, method: str, chunk: int):
     """Cached jitted shard_map — building jit(shard_map(partial(...)))
     per call defeats jax's jit cache (fresh callable identity every time)
     and re-traces/recompiles on every invocation (measured: a warm 16M
@@ -83,6 +155,7 @@ def _aggregate_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
             partial(
                 _local_join_after_exchange,
                 axis=axis, first_bit=first_bit, cap_r=cap_r, cap_s=cap_s,
+                method=method, chunk=chunk,
             ),
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
@@ -95,7 +168,8 @@ def _aggregate_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
     )
 
 
-def _local_segmented(rk, rp, sk, sp, axis, first_bit, cap_r, cap_s, num_segments):
+def _local_segmented(rk, rp, sk, sp, axis, first_bit, cap_r, cap_s,
+                     num_segments, method, chunk):
     """Build side exchanged + sorted once (resident); probe side flows in
     segments through bucket -> all_to_all -> sort -> banded probe. The
     per-segment structure is what lets the runtime overlap segment k+1's
@@ -105,8 +179,9 @@ def _local_segmented(rk, rp, sk, sp, axis, first_bit, cap_r, cap_s, num_segments
     from icde2019_gpu_join_tpu.ops.band_join import banded_probe, sort_by_key
 
     nd = jax.lax.axis_size(axis)
-    bk_r, bp_r, ov_r = partition_to_buckets(rk, rp, nd, cap_r, first_bit)
-    gk_r, gp_r = all_to_all_exchange(bk_r, bp_r, axis)
+    part = _bucketize(method, chunk)
+    fr = part(rk, rp, nd, cap_r, first_bit)
+    gk_r, gp_r = all_to_all_exchange(fr.keys, fr.pays, axis)
     r_sv, r_p = sort_by_key(gk_r.reshape(-1), gp_r.reshape(-1))
 
     sk_seg = sk.reshape(num_segments, -1)
@@ -115,19 +190,19 @@ def _local_segmented(rk, rp, sk, sp, axis, first_bit, cap_r, cap_s, num_segments
     def seg_step(carry, seg):
         acc, ov = carry
         k, p = seg
-        bk, bp, ov_s = partition_to_buckets(k, p, nd, cap_s, first_bit)
-        gk, gp = all_to_all_exchange(bk, bp, axis)
+        fs = part(k, p, nd, cap_s, first_bit)
+        gk, gp = all_to_all_exchange(fs.keys, fs.pays, axis)
         s_sv, s_p = sort_by_key(gk.reshape(-1), gp.reshape(-1))
         agg = banded_probe(r_sv, r_p, s_sv, s_p, 2, "mul")
-        return (acc + agg.astype(jnp.uint32), ov + ov_s), None
+        return (acc + agg.astype(jnp.uint32), ov + fs.overflow), None
 
     (acc, ov_s), _ = jax.lax.scan(
         seg_step,
-        (jnp.uint32(0) + (rk[0] * 0).astype(jnp.uint32), ov_r * 0),
+        (jnp.uint32(0) + (rk[0] * 0).astype(jnp.uint32), fr.overflow * 0),
         (sk_seg, sp_seg),
     )
     agg = jax.lax.psum(acc, axis).astype(jnp.int32)
-    overflow = jax.lax.psum(ov_r + ov_s, axis)
+    overflow = jax.lax.psum(fr.overflow + ov_s, axis)
     return agg, overflow
 
 
@@ -137,30 +212,54 @@ def distributed_join_segmented(
     axis: str = "x",
     num_segments: int = 4,
     first_bit: int = 0,
-    slack: float = 2.0,
+    slack: Optional[float] = None,
+    method: str = "group",
+    chunk: int = 4096,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed join with the probe side streamed in segments so the ICI
     all-to-all of segment k+1 can overlap the banded probe of segment k
     (S_segment_size analog: min(CHUNK_SIZE, n/4),
-    src/hash_join_clustered_probe.cu:1017). Returns (aggregate, overflow)."""
+    src/hash_join_clustered_probe.cu:1017). Returns (aggregate, overflow).
+    This is the DEFAULT distributed pipeline (config 5 / dryrun)."""
     nd = mesh.shape[axis]
     n_r, n_s = r_keys.shape[0], s_keys.shape[0]
-    cap_r = max(8, int(slack * (n_r // nd) / nd) + 1)
-    cap_s = max(8, int(slack * (n_s // nd) / (nd * num_segments)) + 1)
-    fn = _segmented_fn(mesh, axis, first_bit, cap_r, cap_s, num_segments)
-    return fn(r_keys, r_pay, s_keys, s_pay)
+
+    def run(cap_r, cap_s):
+        fn = _segmented_fn(mesh, axis, first_bit, cap_r, cap_s,
+                           num_segments, method, chunk)
+        return fn(r_keys, r_pay, s_keys, s_pay)
+
+    if slack is None:
+        caps = _exact_caps(r_keys, s_keys, mesh, axis, nd, first_bit,
+                           method, chunk, segments=num_segments)
+        agg, ov = run(*caps)
+        if int(ov) > 0:  # per-segment cap underestimate (skewed segments)
+            caps = (caps[0], _round128(caps[1] * num_segments))
+            agg, ov = run(*caps)
+        return agg, ov
+    agg, ov = run(*_slack_caps(slack, n_r, n_s, nd, num_segments))
+    if int(ov) > 0:
+        warnings.warn(
+            f"segmented exchange overflow ({int(ov)} rows); replanning")
+        caps = _exact_caps(r_keys, s_keys, mesh, axis, nd, first_bit,
+                           method, chunk, segments=num_segments)
+        agg, ov = run(*caps)
+        if int(ov) > 0:
+            caps = (caps[0], _round128(caps[1] * num_segments))
+            agg, ov = run(*caps)
+    return agg, ov
 
 
 @functools.lru_cache(maxsize=64)
 def _segmented_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
-                  cap_s: int, num_segments: int):
+                  cap_s: int, num_segments: int, method: str, chunk: int):
     """Cached jitted shard_map (see _aggregate_fn)."""
     return jax.jit(
         jax.shard_map(
             partial(
                 _local_segmented,
                 axis=axis, first_bit=first_bit, cap_r=cap_r, cap_s=cap_s,
-                num_segments=num_segments,
+                num_segments=num_segments, method=method, chunk=chunk,
             ),
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
@@ -173,33 +272,38 @@ def _segmented_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
 def _two_level_local(rk, rp, sk, sp, host_axis, chip_axis, first_bit, caps):
     """Two-level exchange: hosts exchange over DCN first (outer radix bits),
     then chips within a host over ICI (next bits). This keeps the heavy
-    all-to-all fan-in hierarchical, matching the pod's physical topology."""
+    all-to-all fan-in hierarchical, matching the pod's physical topology.
+
+    Level 1 is sort-based and ships (start, count) metadata with the
+    frames; level 2 masks the received pad rows out via that metadata
+    before re-bucketing, so level-2 caps cover REAL rows only — no slack
+    compounding (round-2's slack^2 inflation is structurally gone)."""
     (cap_r_h, cap_s_h, cap_r_c, cap_s_c) = caps
     nh = jax.lax.axis_size(host_axis)
     nc = jax.lax.axis_size(chip_axis)
-    hbits = max((nh - 1).bit_length(), 0)
+    hbits = max((nh - 1).bit_length(), 1)
 
-    # Level 1: exchange across hosts on bits [first_bit, first_bit+hbits).
-    bk_r, bp_r, ov1r = partition_to_buckets(rk, rp, nh, cap_r_h, first_bit)
-    bk_s, bp_s, ov1s = partition_to_buckets(sk, sp, nh, cap_s_h, first_bit)
-    gk_r, gp_r = all_to_all_exchange(bk_r, bp_r, host_axis)
-    gk_s, gp_s = all_to_all_exchange(bk_s, bp_s, host_axis)
+    def two_level_side(keys, pays, cap_h, cap_c):
+        # Level 1: exchange across hosts on bits [first_bit, +hbits).
+        f1 = partition_to_buckets(keys, pays, nh, cap_h, first_bit)
+        gk, gp = all_to_all_exchange(f1.keys, f1.pays, host_axis)
+        st, ct = all_to_all_meta(f1.start, f1.count, host_axis)
+        valid = frames_valid_mask(st, ct, frame_rows(cap_h)).reshape(-1)
+        # Level 2: exchange across chips within the host on the next bits;
+        # level-1 pad rows are masked out of every bucket.
+        f2 = partition_to_buckets(gk.reshape(-1), gp.reshape(-1), nc,
+                                  cap_c, first_bit + hbits, valid=valid)
+        gk2, gp2 = all_to_all_exchange(f2.keys, f2.pays, chip_axis)
+        return gk2.reshape(-1), gp2.reshape(-1), f1.overflow + f2.overflow
 
-    # Level 2: exchange across chips within the host on the next bits.
-    bk_r, bp_r, ov2r = partition_to_buckets(
-        gk_r.reshape(-1), gp_r.reshape(-1), nc, cap_r_c, first_bit + hbits)
-    bk_s, bp_s, ov2s = partition_to_buckets(
-        gk_s.reshape(-1), gp_s.reshape(-1), nc, cap_s_c, first_bit + hbits)
-    gk_r, gp_r = all_to_all_exchange(bk_r, bp_r, chip_axis)
-    gk_s, gp_s = all_to_all_exchange(bk_s, bp_s, chip_axis)
-
-    agg = banded_join_aggregate(
-        gk_r.reshape(-1), gp_r.reshape(-1), gk_s.reshape(-1), gp_s.reshape(-1))
+    rk2, rp2, ov_r = two_level_side(rk, rp, cap_r_h, cap_r_c)
+    sk2, sp2, ov_s = two_level_side(sk, sp, cap_s_h, cap_s_c)
+    agg = banded_join_aggregate(rk2, rp2, sk2, sp2)
     agg = jax.lax.psum(
         jax.lax.psum(agg.astype(jnp.uint32), chip_axis), host_axis
     ).astype(jnp.int32)
     overflow = jax.lax.psum(
-        jax.lax.psum(ov1r + ov1s + ov2r + ov2s, chip_axis), host_axis)
+        jax.lax.psum(ov_r + ov_s, chip_axis), host_axis)
     return agg, overflow
 
 
@@ -209,20 +313,43 @@ def distributed_join_aggregate_2level(
     host_axis: str = "host",
     chip_axis: str = "chip",
     first_bit: int = 0,
-    slack: float = 2.0,
+    slack: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Two-level (DCN x ICI) distributed join over a 2D mesh."""
+    """Two-level (DCN x ICI) distributed join over a 2D mesh. slack=None
+    (default) derives exact per-level caps from one joint-histogram
+    pre-pass; an explicit slack skips the pre-pass with auto-replan."""
     nh, nc = mesh.shape[host_axis], mesh.shape[chip_axis]
     n_r, n_s = r_keys.shape[0], s_keys.shape[0]
+
+    def run(caps):
+        fn = _two_level_fn(mesh, host_axis, chip_axis, first_bit, caps)
+        return fn(r_keys, r_pay, s_keys, s_pay)
+
+    def exact():
+        cr_h, cr_c = xplan.plan_caps_2level(r_keys, mesh, host_axis,
+                                            chip_axis, first_bit)
+        cs_h, cs_c = xplan.plan_caps_2level(s_keys, mesh, host_axis,
+                                            chip_axis, first_bit)
+        return (cr_h, cs_h, cr_c, cs_c)
+
+    if slack is None:
+        return run(exact())
     shard_r = n_r // (nh * nc)
     shard_s = n_s // (nh * nc)
-    cap_r_h = max(8, int(slack * shard_r / nh) + 1)
-    cap_s_h = max(8, int(slack * shard_s / nh) + 1)
-    cap_r_c = max(8, int(slack * (cap_r_h * nh) / nc) + 1)
-    cap_s_c = max(8, int(slack * (cap_s_h * nh) / nc) + 1)
-    fn = _two_level_fn(mesh, host_axis, chip_axis, first_bit,
-                       (cap_r_h, cap_s_h, cap_r_c, cap_s_c))
-    return fn(r_keys, r_pay, s_keys, s_pay)
+    caps = (
+        _round128(int(slack * shard_r / nh) + 1),
+        _round128(int(slack * shard_s / nh) + 1),
+        # level 2 sees ~shard rows per chip of REAL data (pads are masked):
+        # no slack^2 compounding
+        _round128(int(slack * shard_r / nc) + 1),
+        _round128(int(slack * shard_s / nc) + 1),
+    )
+    agg, ov = run(caps)
+    if int(ov) > 0:
+        warnings.warn(
+            f"2-level exchange overflow ({int(ov)} rows); replanning")
+        agg, ov = run(exact())
+    return agg, ov
 
 
 @functools.lru_cache(maxsize=64)

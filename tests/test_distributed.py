@@ -22,12 +22,14 @@ needs_8 = pytest.mark.skipif(
 
 
 @needs_8
-def test_distributed_aggregate_matches_oracle(rng):
+@pytest.mark.parametrize("method", ["group", "sort"])
+def test_distributed_aggregate_matches_oracle(rng, method):
     rk, rp, sk, sp = make_tables(rng, n_r=4096, n_s=16384, dup_build=True)
     mesh = make_mesh(8)
+    # slack=None (default): exact caps from the histogram pre-pass
     agg, overflow = distributed_join_aggregate(
         jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
-        mesh, slack=3.0,
+        mesh, method=method,
     )
     assert int(overflow) == 0
     assert int(agg) == oracle.join_aggregate(rk, rp, sk, sp)
@@ -52,33 +54,60 @@ def test_distributed_pkfk_count(rng):
 def test_two_level_exchange(rng):
     rk, rp, sk, sp = make_tables(rng, n_r=4096, n_s=8192, dup_build=True)
     mesh = make_mesh_2d(2, 4)
-    agg, overflow = distributed_join_aggregate_2level(
-        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
-        mesh, slack=3.0,
-    )
-    assert int(overflow) == 0
-    assert int(agg) == oracle.join_aggregate(rk, rp, sk, sp)
+    for slack in (None, 3.0):  # exact pre-pass caps AND slack-guessed caps
+        agg, overflow = distributed_join_aggregate_2level(
+            jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk),
+            jnp.asarray(sp), mesh, slack=slack,
+        )
+        assert int(overflow) == 0
+        assert int(agg) == oracle.join_aggregate(rk, rp, sk, sp)
 
 
 @needs_8
-def test_overflow_detected(rng):
-    # every S key identical -> one destination bucket must overflow with
-    # slack ~1
+def test_overflow_auto_replan(rng):
+    """Every S key identical -> one destination bucket overflows any
+    slack~1 cap. Round-2 behavior was 'count it and let the caller
+    assert'; the engine now auto-replans with exact caps and returns an
+    exact result (warning emitted, overflow 0)."""
     n = 4096
     rk = rng.permutation(n).astype(np.int32)
     sk = np.full(n, 7, dtype=np.int32)
     mesh = make_mesh(8)
-    _, overflow = distributed_join_aggregate(
-        jnp.asarray(rk), jnp.ones(n, jnp.int32),
-        jnp.asarray(sk), jnp.ones(n, jnp.int32),
-        mesh, slack=1.0,
-    )
-    assert int(overflow) > 0
+    with pytest.warns(UserWarning, match="overflow"):
+        agg, overflow = distributed_join_aggregate(
+            jnp.asarray(rk), jnp.ones(n, jnp.int32),
+            jnp.asarray(sk), jnp.ones(n, jnp.int32),
+            mesh, slack=1.0,
+        )
+    assert int(overflow) == 0
+    assert int(agg) == n  # key 7 exists exactly once in R
+
+
+@needs_8
+def test_distributed_zipf_skew(rng):
+    """Distributed Zipf z=1.05 join (BASELINE config 4's skew inside the
+    exchange): heavy keys funnel whole destinations onto single chips;
+    exact caps absorb it and the result stays bit-exact."""
+    from icde2019_gpu_join_tpu import datagen
+
+    n_r, n_s = 8192, 32768
+    rk = datagen.random_unique_gen(n_r, n_r - 1, seed=5)
+    sk = datagen.gen_zipf(n_s, n_r, 1.05, seed=6)
+    rp = rng.randint(1, 100, n_r).astype(np.int32)
+    sp = rng.randint(1, 100, n_s).astype(np.int32)
+    mesh = make_mesh(8)
+    for method in ("group", "sort"):
+        agg, overflow = distributed_join_aggregate(
+            jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk),
+            jnp.asarray(sp), mesh, method=method,
+        )
+        assert int(overflow) == 0
+        assert int(agg) == oracle.join_aggregate(rk, rp, sk, sp)
 
 
 def test_segmented_distributed_join(rng):
     """Streamed-probe distributed join (exchange/probe pipeline) matches
-    the oracle and the one-shot distributed join."""
+    the oracle and the one-shot distributed join; exact caps by default."""
     from icde2019_gpu_join_tpu.parallel.dist_join import distributed_join_segmented
     from icde2019_gpu_join_tpu.parallel.mesh import make_mesh
 
@@ -88,8 +117,81 @@ def test_segmented_distributed_join(rng):
     sk = rk[rng.randint(0, n_r, n_s)].astype(np.int32)
     rp = rng.randint(1, 50, n_r).astype(np.int32)
     sp = rng.randint(1, 50, n_s).astype(np.int32)
-    agg, ov = distributed_join_segmented(
-        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
-        mesh=make_mesh(nd), num_segments=4, slack=4.0)
-    assert int(ov) == 0
-    assert int(agg) == oracle.join_aggregate(rk, rp, sk, sp)
+    for kwargs in (dict(), dict(slack=4.0), dict(method="sort")):
+        agg, ov = distributed_join_segmented(
+            jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk),
+            jnp.asarray(sp), mesh=make_mesh(nd), num_segments=4, **kwargs)
+        assert int(ov) == 0
+        assert int(agg) == oracle.join_aggregate(rk, rp, sk, sp)
+
+
+def test_plan_cap_exact(rng):
+    """plan_cap returns >= the true max bucket fill, 128-rounded."""
+    from icde2019_gpu_join_tpu.parallel import plan as xplan
+
+    nd = len(jax.devices())
+    n = 1024 * nd
+    keys = rng.randint(0, 1 << 20, n).astype(np.int32)
+    mesh = make_mesh(nd)
+    cap = xplan.plan_cap(jnp.asarray(keys), mesh, "x", nd, 0)
+    # host recompute: per-shard destination histogram
+    pid = oracle.partition_ids(keys, max((nd - 1).bit_length(), 1), 0)
+    mx = 0
+    for c in range(nd):
+        shard = pid[c * (n // nd):(c + 1) * (n // nd)]
+        mx = max(mx, np.bincount(shard, minlength=nd).max())
+    assert cap >= mx
+    assert cap % 128 == 0
+    assert cap <= mx + 128
+
+
+def test_bucket_frames_roundtrip(rng):
+    """partition_to_buckets preserves the payload!=0 row multiset, obeys
+    metadata (start/count), and never overflows with an exact cap."""
+    from icde2019_gpu_join_tpu.parallel.exchange import (
+        frames_valid_mask, partition_to_buckets, partition_to_buckets_grouped)
+
+    n, nd = 5000, 8
+    keys = rng.randint(0, 1 << 20, n).astype(np.int32)
+    pays = rng.randint(1, 1000, n).astype(np.int32)
+    pid = oracle.partition_ids(keys, 3, 0)
+    cap = int(-(-np.bincount(pid, minlength=nd).max() // 128) * 128)
+
+    fr = partition_to_buckets(jnp.asarray(keys), jnp.asarray(pays), nd,
+                              cap, 0)
+    assert int(fr.overflow) == 0
+    k2 = np.asarray(fr.keys)
+    p2 = np.asarray(fr.pays)
+    st, ct = np.asarray(fr.start), np.asarray(fr.count)
+    assert np.array_equal(ct, np.bincount(pid, minlength=nd))
+    # valid rows per bucket live exactly at [start, start+count)
+    mask = np.asarray(frames_valid_mask(fr.start, fr.count, k2.shape[1]))
+    live = np.stack([k2[mask], p2[mask]], axis=1)
+    orig = np.stack([keys, pays], axis=1)
+    assert np.array_equal(
+        live[np.lexsort((live[:, 1], live[:, 0]))],
+        orig[np.lexsort((orig[:, 1], orig[:, 0]))])
+    # rows outside the mask are payload-0
+    assert np.all(p2[~mask] == 0)
+    # per-bucket destination correctness
+    for d in range(nd):
+        assert np.all(oracle.partition_ids(k2[d][mask[d]], 3, 0) == d)
+
+    # grouped variant: same live multiset (block-cap from the exact helper)
+    from icde2019_gpu_join_tpu.ops.bits import rotate_keys
+    from icde2019_gpu_join_tpu.ops.partition_radix import grouped_block_counts
+
+    pb = np.asarray(grouped_block_counts(
+        rotate_keys(jnp.asarray(keys), 3, 0), 3, 1024))
+    gcap = int(pb.max()) * 128
+    fg = partition_to_buckets_grouped(jnp.asarray(keys), jnp.asarray(pays),
+                                      nd, gcap, 0, chunk=1024)
+    assert int(fg.overflow) == 0
+    kg, pg = np.asarray(fg.keys), np.asarray(fg.pays)
+    liveg = pg != 0
+    got = np.stack([kg[liveg], pg[liveg]], axis=1)
+    assert np.array_equal(
+        got[np.lexsort((got[:, 1], got[:, 0]))],
+        orig[np.lexsort((orig[:, 1], orig[:, 0]))])
+    for d in range(nd):
+        assert np.all(oracle.partition_ids(kg[d][liveg[d]], 3, 0) == d)
