@@ -112,6 +112,7 @@ def main():
     overlap = min(1.0, max(0.0, (t_transfer + t_compute - t_pipe) / max(
         1e-9, min(t_transfer, t_compute))))
     print(json.dumps({
+        "pipeline": "streaming",
         "n_r": n_r, "n_s": n_s, "segments": nseg,
         "t_transfer_s": round(t_transfer, 4),
         "t_compute_s": round(t_compute, 4),
@@ -121,5 +122,102 @@ def main():
     }))
 
 
+def coprocess_leg():
+    """Same three-way isolation for the CO-PROCESS loop (round-2 VERDICT:
+    'the coprocess leg has no overlap structure at all' — it now
+    double-buffers pair uploads and stages R per knapsack batch; this
+    measures the result).
+
+      t_transfer : device_put every (R_p, S_p) quantized pair, sync
+      t_compute  : join every pair pre-staged on device, sync
+      t_pipe     : coprocess_join_aggregate's real loop (minus the host
+                   partition phases, reported separately)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from icde2019_gpu_join_tpu import datagen
+    from icde2019_gpu_join_tpu.config import EngineConfig
+    from icde2019_gpu_join_tpu.models import coprocess as cp
+    from icde2019_gpu_join_tpu.ops.band_join import banded_join_aggregate
+    from icde2019_gpu_join_tpu.relation import Relation
+    from icde2019_gpu_join_tpu.utils import datasets, oracle
+
+    lg = int(sys.argv[2]) if len(sys.argv) > 2 else 22
+    n = 1 << lg
+    rk, sk = datasets.make_pk_fk(n, n, seed=13)
+    rp = np.ones(n, np.int32)
+    sp = np.ones(n, np.int32)
+
+    rk_p, rp_p, cnt_r, off_r = datagen.host_partition(rk, rp, cp.OUTER_BITS, 0)
+    sk_p, sp_p, cnt_s, off_s = datagen.host_partition(sk, sp, cp.OUTER_BITS, 0)
+    nparts = 1 << cp.OUTER_BITS
+
+    def host_pairs():
+        return [
+            (cp._quantize_host(rk_p, rp_p, int(off_r[p]), int(off_r[p + 1])),
+             cp._quantize_host(sk_p, sp_p, int(off_s[p]), int(off_s[p + 1])))
+            for p in range(nparts)
+            if off_r[p + 1] > off_r[p] and off_s[p + 1] > off_s[p]
+        ]
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.uint32)))
+
+    # warm jit
+    pairs0 = host_pairs()
+    (a, b), (c, d) = pairs0[0]
+    sync(banded_join_aggregate(jax.device_put(a), jax.device_put(b),
+                               jax.device_put(c), jax.device_put(d)))
+
+    @jax.jit
+    def consume(bufs):
+        return sum(jnp.sum(x[:128].astype(jnp.uint32)) for quad in bufs
+                   for pair in quad for x in pair)
+
+    warm = [tuple(tuple(jax.device_put(x) for x in pr) for pr in quad)
+            for quad in pairs0[0:1] * 2]
+    float(consume(warm))
+
+    legA = host_pairs()  # fresh host arrays (dedupe gotcha)
+    t0 = time.perf_counter()
+    put = [tuple(tuple(jax.device_put(x) for x in pr) for pr in quad)
+           for quad in legA]
+    float(consume(put))
+    t_transfer = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    total = jnp.int32(0)
+    for (ka, va), (kb, vb) in put:
+        total = total + banded_join_aggregate(ka, va, kb, vb)
+    sync(total)
+    t_compute = time.perf_counter() - t0
+
+    # real pipeline, host partitions pre-done: time only the staged loop
+    res = cp.coprocess_join_aggregate(
+        Relation(rk, rp), Relation(sk, sp),
+        EngineConfig(resident_limit_rows=1))
+    t_pipe = res.timer.seconds("pairs")
+    t_hostR = res.timer.seconds("host_partition_R")
+    t_hostS = res.timer.seconds("host_partition_S")
+    ok = res.aggregate == oracle.join_count(rk, sk)
+    overlap = min(1.0, max(0.0, (t_transfer + t_compute - t_pipe) / max(
+        1e-9, min(t_transfer, t_compute))))
+    print(json.dumps({
+        "pipeline": "coprocess",
+        "n": n, "pairs": len(put),
+        "t_transfer_s": round(t_transfer, 4),
+        "t_compute_s": round(t_compute, 4),
+        "t_pipeline_s": round(t_pipe, 4),
+        "t_host_partition_s": round(t_hostR + t_hostS, 4),
+        "overlap_fraction": round(overlap, 3),
+        "lower_bound_ratio": round(t_pipe / max(t_transfer, t_compute, 1e-9), 3),
+        "correct": bool(ok),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "coprocess":
+        coprocess_leg()
+    else:
+        main()
