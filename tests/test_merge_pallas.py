@@ -1,0 +1,107 @@
+"""Interpret-mode correctness of the Pallas merge-tree sort
+(ops/merge_pallas.py) against lax.sort / numpy on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icde2019_gpu_join_tpu.ops import merge_pallas as mp
+
+
+def ref_sort(sv, pv):
+    o = np.argsort(sv, kind="stable")
+    return sv[o], pv[o]
+
+
+def check_pairs(sv_out, pv_out, sv_in, pv_in):
+    """Keys exactly sorted; (key, payload) multiset preserved (the engine's
+    contract: unstable sort, per-key payload multiset kept)."""
+    ks, _ = ref_sort(sv_in, pv_in)
+    np.testing.assert_array_equal(np.asarray(sv_out), ks)
+    got = np.stack([np.asarray(sv_out), np.asarray(pv_out)], 1)
+    want = np.stack([sv_in, pv_in], 1)
+    got = got[np.lexsort((got[:, 1], got[:, 0]))]
+    want = want[np.lexsort((want[:, 1], want[:, 0]))]
+    np.testing.assert_array_equal(got, want)
+
+
+def make(n, rng, lo=-(2**31), hi=2**31):
+    sv = rng.randint(lo, hi, size=n).astype(np.int64).astype(np.int32)
+    pv = rng.randint(-(2**31), 2**31, size=n).astype(np.int64).astype(np.int32)
+    return sv, pv
+
+
+def sorted_runs(sv, pv, run):
+    s2 = sv.reshape(-1, run)
+    o = np.argsort(s2, axis=1, kind="stable")
+    return (np.take_along_axis(s2, o, 1).reshape(-1),
+            np.take_along_axis(pv.reshape(-1, run), o, 1).reshape(-1))
+
+
+def test_vmem_levels(rng):
+    n, run, levels = 4096, 256, 3
+    sv, pv = make(n, rng, lo=0, hi=500)  # duplicates likely
+    sv, pv = sorted_runs(sv, pv, run)
+    so, po = mp.merge_levels_vmem(
+        jnp.asarray(sv), jnp.asarray(pv), run, levels,
+        tile_elems=2048, interpret=True)
+    so, po = np.asarray(so), np.asarray(po)
+    # runs of run<<levels each sorted, multiset per run preserved
+    m = run << levels
+    for i in range(n // m):
+        check_pairs(so[i*m:(i+1)*m], po[i*m:(i+1)*m],
+                    sv[i*m:(i+1)*m], pv[i*m:(i+1)*m])
+
+
+@pytest.mark.parametrize("seed,lo,hi", [(0, -(2**31), 2**31), (1, 0, 64)])
+def test_hbm_level(seed, lo, hi):
+    rng = np.random.RandomState(seed)
+    run = mp.HBM_WINDOW  # smallest legal run for the HBM kernel
+    n = 4 * run          # two pairs
+    sv, pv = make(n, rng, lo=lo, hi=hi)
+    sv, pv = sorted_runs(sv, pv, run)
+    so, po = mp.merge_level_hbm(
+        jnp.asarray(sv), jnp.asarray(pv), run, interpret=True)
+    so, po = np.asarray(so), np.asarray(po)
+    m = 2 * run
+    for i in range(n // m):
+        check_pairs(so[i*m:(i+1)*m], po[i*m:(i+1)*m],
+                    sv[i*m:(i+1)*m], pv[i*m:(i+1)*m])
+
+
+def test_full_cascade_small(rng):
+    # exercises segsort base + vmem cascade (n <= VMEM tile)
+    n = 4 * mp.BASE_RUN
+    sv, pv = make(n, rng)
+    so, po = mp.merge_sort_pairs(jnp.asarray(sv), jnp.asarray(pv),
+                                 interpret=True)
+    check_pairs(np.asarray(so), np.asarray(po), sv, pv)
+
+
+def test_full_cascade_hbm_level(rng):
+    # n big enough to force HBM merge-path levels with a small vmem tile
+    n = 8 * mp.HBM_WINDOW
+    sv, pv = make(n, rng, lo=0, hi=1000)  # heavy duplicates
+    so, po = mp._merge_sort_cascade(
+        jnp.asarray(sv), jnp.asarray(pv), interpret=True,
+        vmem_tile=2 * mp.HBM_WINDOW)
+    check_pairs(np.asarray(so), np.asarray(po), sv, pv)
+
+
+def test_sentinel_fallback(rng):
+    n = 4 * mp.BASE_RUN
+    sv, pv = make(n, rng)
+    sv[123] = mp.INT_MIN
+    sv[456] = mp.INT_MAX
+    so, po = mp.merge_sort_pairs(jnp.asarray(sv), jnp.asarray(pv),
+                                 interpret=True)
+    check_pairs(np.asarray(so), np.asarray(po), sv, pv)
+
+
+def test_non_pow2_fallback(rng):
+    n = 3 * mp.BASE_RUN
+    sv, pv = make(n, rng)
+    so, po = mp.merge_sort_pairs(jnp.asarray(sv), jnp.asarray(pv),
+                                 interpret=True)
+    check_pairs(np.asarray(so), np.asarray(po), sv, pv)
