@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from icde2019_gpu_join_tpu import datagen
 from icde2019_gpu_join_tpu.config import EngineConfig
 from icde2019_gpu_join_tpu.models.joins import JoinResult
 from icde2019_gpu_join_tpu.ops.band_join import banded_probe, sort_by_key
@@ -61,15 +62,34 @@ def streaming_join_aggregate(
     s_keys_host = np.asarray(s.keys)
     s_pay_host = np.asarray(s.payload)
 
-    def put(lo, hi):
-        """Host-pad short tails to the full segment size (sentinel key -1,
-        payload 0 contributes nothing) so every segment hits one jit cache."""
-        sk = s_keys_host[lo:hi]
-        sp = s_pay_host[lo:hi]
+    # Reusable staging buffers, assembled with the threaded AVX2 streaming
+    # copy (datagen.staging_copy / tj_staging_copy) — the analog of the
+    # reference's NUMA staging gather into the pinned transfer buffer
+    # (src/partition-primitives.cu:235-253). Two slots alternate because one
+    # device_put is kept in flight while the next segment is staged; a short
+    # tail is padded in place (sentinel key -1, payload 0 contribute
+    # nothing) so every segment hits one jit cache.
+    stage = [(np.empty(seg, np.int32), np.empty(seg, np.int32))
+             for _ in range(2)]
+    in_flight = [None, None]
+
+    def put(lo, hi, slot):
+        # a slot may only be restaged once its previous transfer has been
+        # consumed — block_until_ready waits for the TRANSFER, not the probe,
+        # and only ever blocks when the device is >= 2 segments behind (the
+        # natural backpressure point; the reference's cudaEventSynchronize on
+        # the S-slot event plays the same role, :1559-1575)
+        if in_flight[slot] is not None:
+            jax.block_until_ready(in_flight[slot])
+        sk, sp = stage[slot]
+        datagen.staging_copy(sk[: hi - lo], s_keys_host[lo:hi])
+        datagen.staging_copy(sp[: hi - lo], s_pay_host[lo:hi])
         if hi - lo < seg:
-            sk = np.concatenate([sk, np.full(seg - (hi - lo), -1, np.int32)])
-            sp = np.concatenate([sp, np.zeros(seg - (hi - lo), np.int32)])
-        return jax.device_put(sk), jax.device_put(sp)
+            sk[hi - lo:] = -1
+            sp[hi - lo:] = 0
+        buf = (jax.device_put(sk), jax.device_put(sp))
+        in_flight[slot] = buf
+        return buf
 
     total = jnp.uint32(0)
     starts = list(range(0, n_s, seg))
@@ -80,12 +100,12 @@ def streaming_join_aggregate(
     # probe(k) on the device timeline (measured: benchmarks/overlap_bench.py
     # and docs/DESIGN_NOTES.md 'Pipeline overlap, measured').
     with timer.phase("stream", bytes_moved=16 * n_s, rows=n_s) as out:
-        next_buf = put(0, min(seg, n_s))
+        next_buf = put(0, min(seg, n_s), 0)
         for i, lo in enumerate(starts):
             sk, sp = next_buf
             if i + 1 < len(starts):
                 nlo = starts[i + 1]
-                next_buf = put(nlo, min(nlo + seg, n_s))
+                next_buf = put(nlo, min(nlo + seg, n_s), (i + 1) % 2)
             total = _segment_probe(r_sv, r_p, sk, sp, total, W)
         out["result"] = total
     return JoinResult(aggregate=int(jnp.asarray(total).astype(jnp.int32)), timer=timer)

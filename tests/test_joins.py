@@ -65,6 +65,27 @@ def test_streaming_join(rng):
     assert res.aggregate == oracle.join_aggregate(rk, rp, sk, sp)
 
 
+def test_streaming_uses_staging_copy(rng, monkeypatch):
+    """C17 wiring: segment assembly must go through datagen.staging_copy
+    (the threaded AVX2 staging gather), and results stay exact."""
+    from icde2019_gpu_join_tpu import datagen
+    from icde2019_gpu_join_tpu.models import streaming as st
+
+    calls = {"n": 0}
+    real = datagen.staging_copy
+
+    def counted(dst, src, num_threads=0):
+        calls["n"] += 1
+        real(dst, src, num_threads)
+
+    monkeypatch.setattr(st.datagen, "staging_copy", counted)
+    rk, rp, sk, sp = make_tables(rng, n_r=2000, n_s=10000, dup_build=True)
+    cfg = dataclasses.replace(small_cfg(), segment_rows=3000)
+    res = streaming_join_aggregate(Relation(rk, rp), Relation(sk, sp), cfg)
+    assert res.aggregate == oracle.join_aggregate(rk, rp, sk, sp)
+    assert calls["n"] == 2 * 4  # keys+payload per segment, 4 segments
+
+
 def test_coprocess_join(rng):
     rk, rp, sk, sp = make_tables(rng, n_r=5000, n_s=5000, dup_build=True)
     res = coprocess_join_aggregate(Relation(rk, rp), Relation(sk, sp), small_cfg())
