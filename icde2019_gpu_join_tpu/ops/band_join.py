@@ -38,6 +38,7 @@ int32 with wraparound (src/join-primitives.cu:1052-1092).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -46,6 +47,20 @@ import jax.numpy as jnp
 from icde2019_gpu_join_tpu.ops.bits import rotate_keys
 
 _BLK = 128
+
+# Engine-wide sort implementation for the two hot (sortval, payload) sorts:
+# "lax" = XLA's flat unstable 2-op sort (the measured 355 Mrows/s baseline),
+# "merge" = the Pallas merge-tree cascade (ops/merge_pallas.py) — flipped on
+# only where benchmarks/merge_sort_bench.py shows a device win.
+_SORT_IMPL = os.environ.get("TPUJOIN_SORT_IMPL", "lax")
+
+
+def set_sort_impl(name: str) -> None:
+    """Select the hot-path sort ("lax" | "merge"). Takes effect on the next
+    jit trace (callers' jit caches key on nothing here — flip before use)."""
+    global _SORT_IMPL
+    assert name in ("lax", "merge")
+    _SORT_IMPL = name
 
 
 def _pad_sorted_input(keys: jnp.ndarray, pay: jnp.ndarray):
@@ -68,6 +83,9 @@ def sort_by_key(keys: jnp.ndarray, pay: jnp.ndarray):
     """
     keys, pay = _pad_sorted_input(keys, pay)
     sv = rotate_keys(keys, 0, 0)
+    if _SORT_IMPL == "merge":
+        from icde2019_gpu_join_tpu.ops.merge_pallas import merge_sort_pairs
+        return merge_sort_pairs(sv, pay)
     sv_s, pay_s = jax.lax.sort((sv, pay), num_keys=1, is_stable=False)
     return sv_s, pay_s
 

@@ -375,6 +375,8 @@ def merge_sort_pairs(sv, pv, interpret: bool = False):
     lax.sort. Falls back to lax.sort when any sortval equals a masking
     sentinel (see module docstring) or when n isn't a power-of-two multiple
     of BASE_RUN (engine shapes always are)."""
+    if jax.default_backend() == "cpu":
+        interpret = True  # Pallas TPU kernels only interpret on CPU
     n = sv.shape[0]
     if n < 2 * BASE_RUN or (n & (n - 1)) != 0:
         return jax.lax.sort((sv, pv), num_keys=1, is_stable=False)

@@ -99,6 +99,30 @@ def test_sentinel_fallback(rng):
     check_pairs(np.asarray(so), np.asarray(po), sv, pv)
 
 
+def test_join_with_merge_sort_impl(rng):
+    """End-to-end: the banded join under sort_impl='merge' (pow2 sizes so
+    the cascade actually runs) matches the oracle and the lax impl."""
+    from icde2019_gpu_join_tpu.ops import band_join as bj
+    from icde2019_gpu_join_tpu.utils import oracle
+
+    n_r, n_s = 8192, 16384
+    rk = rng.permutation(4 * n_r)[:n_r].astype(np.int32)
+    sk = rk[rng.randint(0, n_r, n_s)].astype(np.int32)
+    rp = rng.randint(-100, 100, n_r).astype(np.int32)
+    sp = rng.randint(-100, 100, n_s).astype(np.int32)
+    want = oracle.join_aggregate(rk, rp, sk, sp)
+    bj.set_sort_impl("merge")
+    try:
+        jax.clear_caches()  # callers' traces captured the lax impl
+        got = bj.banded_join_aggregate(
+            jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk),
+            jnp.asarray(sp))
+    finally:
+        bj.set_sort_impl("lax")
+        jax.clear_caches()
+    assert int(np.int32(np.asarray(got))) == want
+
+
 def test_non_pow2_fallback(rng):
     n = 3 * mp.BASE_RUN
     sv, pv = make(n, rng)
