@@ -83,11 +83,12 @@ def bench_stages(lg):
         out[f"{name}_Gelem_stage_s"] = round(rate, 1)
         print(json.dumps({"stage": name, "d": d, "ms": round(t * 1e3, 2),
                           "Gelem_stage_s": round(rate, 1)}))
-    # one full VMEM merge level at run=tile/2 for an end-to-end level cost
+    # one full VMEM merge level at run=tile/2, both lane-stage formulations
     tile = min(1 << 19, n)
-    t = timeit(lambda a, b: mp.merge_levels_vmem(a, b, tile // 2, 1,
-                                                 tile_elems=tile), sv, pv)
-    out["vmem_level_ms"] = round(t * 1e3, 2)
+    for lt in (False, True):
+        t = timeit(lambda a, b: mp.merge_levels_vmem(
+            a, b, tile // 2, 1, tile_elems=tile, lane_transpose=lt), sv, pv)
+        out[f"vmem_level_ms_lt{int(lt)}"] = round(t * 1e3, 2)
     print(json.dumps(out))
     return out
 

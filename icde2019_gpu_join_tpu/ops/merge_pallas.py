@@ -127,35 +127,70 @@ def _mirror(sv, pv, run_rows: int):
     return nsv.reshape(S, 128), npv.reshape(S, 128)
 
 
-def _merge_adjacent_runs(sv, pv, run_len: int):
+def _cx_rows(sv, pv, dr: int):
+    """Row-distance compare-exchange for arbitrary [rows, cols] tiles
+    (the d >= 128 branch of _cx, generalized for transposed layouts)."""
+    rows, cols = sv.shape
+    a = sv.reshape(rows // (2 * dr), 2, dr, cols)
+    p = pv.reshape(rows // (2 * dr), 2, dr, cols)
+    lo, hi = a[:, 0], a[:, 1]
+    swap = hi < lo
+    nsv = jnp.stack(
+        [jnp.where(swap, hi, lo), jnp.where(swap, lo, hi)], axis=1)
+    plo, phi = p[:, 0], p[:, 1]
+    npv = jnp.stack(
+        [jnp.where(swap, phi, plo), jnp.where(swap, plo, phi)], axis=1)
+    return nsv.reshape(rows, cols), npv.reshape(rows, cols)
+
+
+def _merge_adjacent_runs(sv, pv, run_len: int, lane_transpose: bool = False):
     """Merge every adjacent pair of ascending run_len-runs of the flat tile
-    into ascending 2*run_len runs: mirror + log2(run_len) cx stages."""
+    into ascending 2*run_len runs: mirror + log2(run_len) cx stages.
+
+    lane_transpose: run the 7 lane-level stages (d < 128) on a transposed
+    tile where they become sublane-row exchanges — one transpose each way
+    per array vs 7 lane-dim reshuffles. Which wins is measured on device
+    (benchmarks/merge_sort_bench.py stages); both are bit-identical."""
     sv, pv = _mirror(sv, pv, run_len // 128)
     d = run_len // 2
-    while d >= 1:
+    while d >= 128:
         sv, pv = _cx(sv, pv, d)
         d //= 2
-    return sv, pv
+    if d == 0:
+        return sv, pv
+    if not lane_transpose:
+        while d >= 1:
+            sv, pv = _cx(sv, pv, d)
+            d //= 2
+        return sv, pv
+    svT, pvT = sv.T, pv.T              # lane-distance pairs -> row pairs
+    while d >= 1:
+        svT, pvT = _cx_rows(svT, pvT, d)
+        d //= 2
+    return svT.T, pvT.T
 
 
 # ---------------------------------------------------------------------------
 # VMEM cascade: merge `levels` levels inside one grid tile
 # ---------------------------------------------------------------------------
 
-def _vmem_kernel(sv_ref, pv_ref, osv_ref, opv_ref, *, run_len, levels):
+def _vmem_kernel(sv_ref, pv_ref, osv_ref, opv_ref, *, run_len, levels,
+                 lane_transpose):
     sv, pv = sv_ref[:], pv_ref[:]
     l = run_len
     for _ in range(levels):
-        sv, pv = _merge_adjacent_runs(sv, pv, l)
+        sv, pv = _merge_adjacent_runs(sv, pv, l, lane_transpose)
         l *= 2
     osv_ref[:] = sv
     opv_ref[:] = pv
 
 
 @functools.partial(
-    jax.jit, static_argnames=("run_len", "levels", "tile_elems", "interpret"))
+    jax.jit, static_argnames=("run_len", "levels", "tile_elems", "interpret",
+                              "lane_transpose"))
 def merge_levels_vmem(sv, pv, run_len: int, levels: int,
-                      tile_elems: int = VMEM_TILE, interpret: bool = False):
+                      tile_elems: int = VMEM_TILE, interpret: bool = False,
+                      lane_transpose: bool = False):
     """Merge ascending runs of run_len into runs of run_len << levels, all
     levels fused in VMEM per grid tile. n % tile == 0, tile >= run<<levels,
     run_len >= 128; all powers of two."""
@@ -165,7 +200,8 @@ def merge_levels_vmem(sv, pv, run_len: int, levels: int,
     S = tile // 128
     blk = pl.BlockSpec((S, 128), lambda t: (t, 0))
     out = pl.pallas_call(
-        functools.partial(_vmem_kernel, run_len=run_len, levels=levels),
+        functools.partial(_vmem_kernel, run_len=run_len, levels=levels,
+                          lane_transpose=lane_transpose),
         grid=(n // tile,),
         in_specs=[blk, blk],
         out_specs=(blk, blk),

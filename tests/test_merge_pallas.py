@@ -39,13 +39,14 @@ def sorted_runs(sv, pv, run):
             np.take_along_axis(pv.reshape(-1, run), o, 1).reshape(-1))
 
 
-def test_vmem_levels(rng):
+@pytest.mark.parametrize("lane_transpose", [False, True])
+def test_vmem_levels(rng, lane_transpose):
     n, run, levels = 4096, 256, 3
     sv, pv = make(n, rng, lo=0, hi=500)  # duplicates likely
     sv, pv = sorted_runs(sv, pv, run)
     so, po = mp.merge_levels_vmem(
         jnp.asarray(sv), jnp.asarray(pv), run, levels,
-        tile_elems=2048, interpret=True)
+        tile_elems=2048, interpret=True, lane_transpose=lane_transpose)
     so, po = np.asarray(so), np.asarray(po)
     # runs of run<<levels each sorted, multiset per run preserved
     m = run << levels
