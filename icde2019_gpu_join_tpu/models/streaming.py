@@ -87,6 +87,11 @@ def streaming_join_aggregate(
         if hi - lo < seg:
             sk[hi - lo:] = -1
             sp[hi - lo:] = 0
+        if jax.default_backend() == "cpu":
+            # CPU device_put may ALIAS the numpy buffer (zero-copy) — a
+            # restaged slot would mutate the "device" array. Real devices
+            # always copy across PCIe, so reuse is safe there.
+            sk, sp = sk.copy(), sp.copy()
         buf = (jax.device_put(sk), jax.device_put(sp))
         in_flight[slot] = buf
         return buf

@@ -50,16 +50,17 @@ _BLK = 128
 
 # Engine-wide sort implementation for the two hot (sortval, payload) sorts:
 # "lax" = XLA's flat unstable 2-op sort (the measured 355 Mrows/s baseline),
-# "merge" = the Pallas merge-tree cascade (ops/merge_pallas.py) — flipped on
-# only where benchmarks/merge_sort_bench.py shows a device win.
+# "merge" = the Pallas merge-tree cascade (ops/merge_pallas.py),
+# "packed" = 1-operand uint64 pack sort — alternates flipped on only where
+# benchmarks/merge_sort_bench.py shows a device win.
 _SORT_IMPL = os.environ.get("TPUJOIN_SORT_IMPL", "lax")
 
 
 def set_sort_impl(name: str) -> None:
-    """Select the hot-path sort ("lax" | "merge"). Takes effect on the next
+    """Select the hot-path sort ("lax" | "merge" | "packed"). Takes effect on the next
     jit trace (callers' jit caches key on nothing here — flip before use)."""
     global _SORT_IMPL
-    assert name in ("lax", "merge")
+    assert name in ("lax", "merge", "packed")
     _SORT_IMPL = name
 
 
@@ -86,6 +87,9 @@ def sort_by_key(keys: jnp.ndarray, pay: jnp.ndarray):
     if _SORT_IMPL == "merge":
         from icde2019_gpu_join_tpu.ops.merge_pallas import merge_sort_pairs
         return merge_sort_pairs(sv, pay)
+    if _SORT_IMPL == "packed":
+        from icde2019_gpu_join_tpu.ops.merge_pallas import packed_sort_pairs
+        return packed_sort_pairs(sv, pay)
     sv_s, pay_s = jax.lax.sort((sv, pay), num_keys=1, is_stable=False)
     return sv_s, pay_s
 

@@ -405,6 +405,25 @@ def _merge_sort_cascade(sv, pv, interpret: bool = False,
     return sv, pv
 
 
+def packed_sort_pairs(sv, pv):
+    """1-operand alternative: sort (biased sortval << 32 | payload) packed
+    uint64 (order-preserving for signed-int32 sortvals), then unpack.
+    Operand count dominated sort cost in round 1 (3-op -> 2-op = 1.8x);
+    whether the TPU's 64-bit compare emulation beats the second operand's
+    data movement is measured by benchmarks/merge_sort_bench.py `packed`.
+    Duplicate-key payload order becomes ascending-uint32 — within the
+    engine's contract (per-key payload multiset, order unspecified)."""
+    with jax.enable_x64(True):
+        ku = (sv.astype(jnp.uint32) ^ jnp.uint32(0x80000000)).astype(
+            jnp.uint64)
+        pu = pv.astype(jnp.uint32).astype(jnp.uint64)
+        w = jnp.sort((ku << jnp.uint64(32)) | pu)
+        ko = ((w >> jnp.uint64(32)).astype(jnp.uint32)
+              ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+        vo = w.astype(jnp.uint32).astype(jnp.int32)
+    return ko, vo
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def merge_sort_pairs(sv, pv, interpret: bool = False):
     """Sort (sv, pv) by sv ascending (signed int32), drop-in for the 2-op
