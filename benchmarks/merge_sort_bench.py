@@ -146,15 +146,20 @@ def bench_full(lg):
         return jax.lax.sort((kd, vd), num_keys=1, is_stable=False)
 
     t2 = timeit(two_op, kd, vd)
-    tm = timeit(mp.merge_sort_pairs, kd, vd)
-    ko, po = mp.merge_sort_pairs(kd, vd)
-    ks, _ = two_op(kd, vd)
-    ok = bool(jnp.array_equal(ko, ks))
     res = {"bench": "full", "n": n, "lax_ms": round(t2 * 1e3, 1),
-           "merge_ms": round(tm * 1e3, 1),
-           "lax_Mrows_s": round(n / t2 / 1e6, 1),
-           "merge_Mrows_s": round(n / tm / 1e6, 1),
-           "speedup": round(t2 / tm, 2), "keys_exact": ok}
+           "lax_Mrows_s": round(n / t2 / 1e6, 1)}
+    ks, _ = two_op(kd, vd)
+    cascade = jax.jit(functools.partial(
+        mp._merge_sort_cascade, hbm_window=32768))
+    for name, fn in [("merge", jax.jit(mp._merge_sort_cascade)),
+                     ("merge_w32k", cascade)]:
+        tm = timeit(fn, kd, vd)
+        ko, po = fn(kd, vd)
+        ok = bool(jnp.array_equal(ko, ks))
+        res.update({f"{name}_ms": round(tm * 1e3, 1),
+                    f"{name}_Mrows_s": round(n / tm / 1e6, 1),
+                    f"{name}_speedup": round(t2 / tm, 2),
+                    f"{name}_keys_exact": ok})
     print(json.dumps(res))
     return res
 

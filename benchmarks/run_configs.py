@@ -7,7 +7,8 @@ configs 4 and 5 exercise the exact code paths (coprocess / streaming /
 distributed shuffle) at the largest feasible scale; pass --full to attempt
 the nominal sizes.
 
-Usage: python benchmarks/run_configs.py [--configs 1,2,3,4,5] [--full]
+Usage: python benchmarks/run_configs.py [--configs 1,2,3,4,5[,6]] [--full]
+(config 6 = 2B-shape streaming leg: S at 2^31 with --full, R capped at 512M)
 """
 
 import argparse
@@ -244,6 +245,38 @@ def config5(scale):
             int(agg) == expect and int(ov) == 0)
 
 
+def config6(scale_s):
+    """2B-shape streaming join: R=512M device-resident, S=2^scale_s streamed
+    through the staged double-buffered pipeline (the BASELINE headline is
+    defined at 2B x 2B; 2B x 2B needs a pod slice — this is the largest
+    single-chip 2B-shape: the probe side at full 2B rows)."""
+    import jax.numpy as jnp
+    from icde2019_gpu_join_tpu.config import EngineConfig
+    from icde2019_gpu_join_tpu.models.streaming import streaming_join_aggregate
+    from icde2019_gpu_join_tpu.relation import Relation
+    from icde2019_gpu_join_tpu.utils import datasets
+
+    n_r, n_s = min(1 << 29, 1 << (scale_s - 2)), 1 << scale_s
+    rk, sk = datasets.make_pk_fk(n_r, n_s, seed=12345)
+    rp = np.ones(n_r, np.int32)
+    sp = np.ones(n_s, np.int32)
+    cfg = EngineConfig(segment_rows=min(1 << 27, n_s))
+    t0 = time.perf_counter()
+    res = streaming_join_aggregate(
+        Relation(jnp.asarray(rk), jnp.asarray(rp)), Relation(sk, sp), cfg)
+    dt = time.perf_counter() - t0
+    # memory-frugal host oracle (PK-FK): match counts via searchsorted
+    rs = np.sort(rk)
+    lo = np.searchsorted(rs, sk, side="left")
+    hi = np.searchsorted(rs, sk, side="right")
+    expect = int(np.uint32(np.sum(hi - lo, dtype=np.uint64) & 0xFFFFFFFF))
+    got = int(np.uint32(np.int64(res.aggregate) & 0xFFFFFFFF))
+    _report(6, f"streaming_{n_r>>20}Mx{n_s>>20}M", n_r + n_s, dt,
+            got == expect,
+            {"phases": {p.name: round(p.seconds, 2)
+                        for p in res.timer.phases}})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4,5")
@@ -261,6 +294,8 @@ def main():
         config4(30 if args.full else 26)
     if 5 in want:
         config5(31 if args.full else 24)
+    if 6 in want:
+        config6(31 if args.full else 26)
 
 
 if __name__ == "__main__":

@@ -261,13 +261,13 @@ def _merge_path_splits(sv, run_len: int, tile_out: int):
 
 
 def _hbm_kernel(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
-                asv, apv, bsv, bpv, msv, mpv, sems, *, run_len, n):
+                asv, apv, bsv, bpv, msv, mpv, sems, *, window):
     """One output tile: DMA the two 128-aligned windows, mask off-diagonal
-    junk to sentinels, bitonic-merge 2*HBM_WINDOW in VMEM, write the valid
-    63 rows at the planned output row. meta rows (SMEM, per tile):
+    junk to sentinels, bitonic-merge 2*window in VMEM, write the valid
+    window-128 rows at the planned output row. meta rows (SMEM, per tile):
     [a_row0, b_row0, a_lo_off, a_hi_off, b_lo_off, b_hi_off, out_row]."""
     t = pl.program_id(0)
-    wrow = HBM_WINDOW // 128
+    wrow = window // 128
     a_row0 = meta_ref[t, 0]
     b_row0 = meta_ref[t, 1]
     cpA = pltpu.make_async_copy(
@@ -291,14 +291,14 @@ def _hbm_kernel(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
     b = masked(bsv[:], meta_ref[t, 4], meta_ref[t, 5])
     sv = jnp.concatenate([a, b], axis=0)
     pv = jnp.concatenate([apv[:], bpv[:]], axis=0)
-    sv, pv = _merge_adjacent_runs(sv, pv, HBM_WINDOW)
+    sv, pv = _merge_adjacent_runs(sv, pv, window)
     msv[:] = sv
     mpv[:] = pv
     # valid rows start after the merged junk front: front counts are
     # 128-aligned by construction of the planner (a_lo + b_lo ≡ 0 mod 128)
     f = (meta_ref[t, 2] + meta_ref[t, 4]) // 128
     orow = meta_ref[t, 6]
-    vrow = HBM_TILE_OUT // 128
+    vrow = (window - 128) // 128
     ow = pltpu.make_async_copy(
         msv.at[pl.ds(f, vrow)], osv_hbm.at[pl.ds(orow, vrow)], sems.at[0])
     op = pltpu.make_async_copy(
@@ -307,25 +307,31 @@ def _hbm_kernel(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
     ow.wait(); op.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("run_len", "interpret"))
-def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("run_len", "interpret", "window"))
+def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False,
+                    window: int = HBM_WINDOW):
     """One cascade level for runs too large to merge in VMEM: ascending runs
-    of run_len -> 2*run_len. run_len >= HBM_WINDOW, n % (2*run_len) == 0."""
+    of run_len -> 2*run_len. run_len >= window, n % (2*run_len) == 0.
+    `window` (pow2 >= 8192) trades per-tile DMA/grid overhead (~1/window)
+    against stage work (log2(2*window) stages per window-128 output rows) —
+    A/B'd on device by benchmarks/merge_sort_bench.py."""
     n = sv.shape[0]
-    assert run_len >= HBM_WINDOW and n % (2 * run_len) == 0
-    a, b, p, o = _merge_path_splits(sv, run_len, HBM_TILE_OUT)
+    tile_out = window - 128
+    assert run_len >= window and n % (2 * run_len) == 0
+    a, b, p, o = _merge_path_splits(sv, run_len, tile_out)
     pair = 2 * run_len
     # 128-align window starts; clamp so windows stay inside the run pair
-    a0 = jnp.minimum(a & ~127, run_len - HBM_WINDOW)
-    b0 = jnp.minimum(b & ~127, run_len - HBM_WINDOW)
+    a0 = jnp.minimum(a & ~127, run_len - window)
+    b0 = jnp.minimum(b & ~127, run_len - window)
     base = p * pair
     meta = jnp.stack([
         (base + a0) // 128,                     # a window start row
         (base + run_len + b0) // 128,           # b window start row
         a - a0,                                 # valid lo within A window
-        jnp.minimum(a + HBM_TILE_OUT, run_len) - a0,   # loose hi; exact below
+        jnp.minimum(a + tile_out, run_len) - a0,  # loose hi; exact below
         b - b0,
-        jnp.minimum(b + HBM_TILE_OUT, run_len) - b0,
+        jnp.minimum(b + tile_out, run_len) - b0,
         (base + o) // 128,                      # output row
     ], axis=1)
     # exact his: splits of the NEXT tile boundary within the same pair give
@@ -340,7 +346,7 @@ def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False):
     meta = meta.at[:, 3].set(a_hi.reshape(-1) - a0)
     meta = meta.at[:, 5].set(b_hi.reshape(-1) - b0)
 
-    wrow = HBM_WINDOW // 128
+    wrow = window // 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(meta.shape[0],),
@@ -363,7 +369,7 @@ def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_hbm_kernel, run_len=run_len, n=n),
+        functools.partial(_hbm_kernel, window=window),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n // 128, 128), jnp.int32),
@@ -382,7 +388,9 @@ def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False):
 
 def _merge_sort_cascade(sv, pv, interpret: bool = False,
                         vmem_tile: int = VMEM_TILE,
-                        vmem_levels_per_call: int = 3):
+                        vmem_levels_per_call: int = 3,
+                        hbm_window: int = HBM_WINDOW,
+                        lane_transpose: bool = False):
     """Segsort base runs, then VMEM cascade calls, then HBM merge-path
     levels. n must be a power of two >= BASE_RUN."""
     n = sv.shape[0]
@@ -397,10 +405,12 @@ def _merge_sort_cascade(sv, pv, interpret: bool = False,
         levels = min(vmem_levels_per_call,
                      int(np.log2(tile)) - int(np.log2(run)))
         sv, pv = merge_levels_vmem(sv, pv, run, levels, tile_elems=tile,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   lane_transpose=lane_transpose)
         run <<= levels
     while run < n:
-        sv, pv = merge_level_hbm(sv, pv, run, interpret=interpret)
+        sv, pv = merge_level_hbm(sv, pv, run, interpret=interpret,
+                                 window=hbm_window)
         run <<= 1
     return sv, pv
 

@@ -55,15 +55,20 @@ def test_vmem_levels(rng, lane_transpose):
                     sv[i*m:(i+1)*m], pv[i*m:(i+1)*m])
 
 
-@pytest.mark.parametrize("seed,lo,hi", [(0, -(2**31), 2**31), (1, 0, 64)])
-def test_hbm_level(seed, lo, hi):
+@pytest.mark.parametrize("seed,lo,hi,window", [
+    (0, -(2**31), 2**31, mp.HBM_WINDOW),
+    (1, 0, 64, mp.HBM_WINDOW),
+    (2, -(2**31), 2**31, 2 * mp.HBM_WINDOW),
+])
+def test_hbm_level(seed, lo, hi, window):
     rng = np.random.RandomState(seed)
-    run = mp.HBM_WINDOW  # smallest legal run for the HBM kernel
-    n = 4 * run          # two pairs
+    run = 2 * mp.HBM_WINDOW  # legal for both window sizes
+    n = 4 * run              # two pairs
     sv, pv = make(n, rng, lo=lo, hi=hi)
     sv, pv = sorted_runs(sv, pv, run)
     so, po = mp.merge_level_hbm(
-        jnp.asarray(sv), jnp.asarray(pv), run, interpret=True)
+        jnp.asarray(sv), jnp.asarray(pv), run, interpret=True,
+        window=window)
     so, po = np.asarray(so), np.asarray(po)
     m = 2 * run
     for i in range(n // m):
