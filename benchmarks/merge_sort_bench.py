@@ -149,10 +149,16 @@ def bench_full(lg):
     res = {"bench": "full", "n": n, "lax_ms": round(t2 * 1e3, 1),
            "lax_Mrows_s": round(n / t2 / 1e6, 1)}
     ks, _ = two_op(kd, vd)
-    cascade = jax.jit(functools.partial(
-        mp._merge_sort_cascade, hbm_window=32768))
-    for name, fn in [("merge", jax.jit(mp._merge_sort_cascade)),
-                     ("merge_w32k", cascade)]:
+    variants = [
+        ("merge", jax.jit(mp._merge_sort_cascade)),
+        ("merge_w32k", jax.jit(functools.partial(
+            mp._merge_sort_cascade, hbm_window=32768))),
+        ("merge_nodb", jax.jit(functools.partial(
+            mp._merge_sort_cascade, hbm_double_buffer=False))),
+        ("merge_lt", jax.jit(functools.partial(
+            mp._merge_sort_cascade, lane_transpose=True))),
+    ]
+    for name, fn in variants:
         tm = timeit(fn, kd, vd)
         ko, po = fn(kd, vd)
         ok = bool(jnp.array_equal(ko, ks))

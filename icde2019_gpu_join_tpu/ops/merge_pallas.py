@@ -307,10 +307,103 @@ def _hbm_kernel(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
     ow.wait(); op.wait()
 
 
+def _hbm_kernel_db(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
+                   asv, apv, bsv, bpv, msv, mpv, isems, osems, *, window):
+    """Double-buffered variant: tile t+1's four window DMAs are started
+    before tile t's merge runs, and the two output staging slots let the
+    write-back DMA ride behind the next tile's compute."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    wrow = window // 128
+    slot = t % 2
+    nslot = (t + 1) % 2
+
+    def in_copies(tt, sl):
+        a0 = meta_ref[tt, 0]
+        b0 = meta_ref[tt, 1]
+        return (
+            pltpu.make_async_copy(
+                sv_hbm.at[pl.ds(a0, wrow)], asv.at[sl], isems.at[sl, 0]),
+            pltpu.make_async_copy(
+                pv_hbm.at[pl.ds(a0, wrow)], apv.at[sl], isems.at[sl, 1]),
+            pltpu.make_async_copy(
+                sv_hbm.at[pl.ds(b0, wrow)], bsv.at[sl], isems.at[sl, 2]),
+            pltpu.make_async_copy(
+                pv_hbm.at[pl.ds(b0, wrow)], bpv.at[sl], isems.at[sl, 3]),
+        )
+
+    @pl.when(t == 0)
+    def _():
+        for c in in_copies(0, 0):
+            c.start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        for c in in_copies(t + 1, nslot):
+            c.start()
+
+    for c in in_copies(t, slot):
+        c.wait()
+
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (wrow, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (wrow, 128), 1))
+
+    def masked(win, lo, hi):
+        w = jnp.where(idx < lo, INT_MIN, win)
+        return jnp.where(idx >= hi, INT_MAX, w)
+
+    a = masked(asv[slot], meta_ref[t, 2], meta_ref[t, 3])
+    b = masked(bsv[slot], meta_ref[t, 4], meta_ref[t, 5])
+    svv = jnp.concatenate([a, b], axis=0)
+    pvv = jnp.concatenate([apv[slot], bpv[slot]], axis=0)
+    svv, pvv = _merge_adjacent_runs(svv, pvv, window)
+
+    vrow = (window - 128) // 128
+    f = (meta_ref[t, 2] + meta_ref[t, 4]) // 128
+    orow = meta_ref[t, 6]
+
+    def out_copies(tt, sl, ff, orw):
+        return (
+            pltpu.make_async_copy(
+                msv.at[sl].at[pl.ds(ff, vrow)],
+                osv_hbm.at[pl.ds(orw, vrow)], osems.at[sl, 0]),
+            pltpu.make_async_copy(
+                mpv.at[sl].at[pl.ds(ff, vrow)],
+                opv_hbm.at[pl.ds(orw, vrow)], osems.at[sl, 1]),
+        )
+
+    # this slot's previous write-back (tile t-2) must land before reuse
+    @pl.when(t >= 2)
+    def _():
+        pf = (meta_ref[t - 2, 2] + meta_ref[t - 2, 4]) // 128
+        po = meta_ref[t - 2, 6]
+        for c in out_copies(t - 2, slot, pf, po):
+            c.wait()
+
+    msv[slot] = svv
+    mpv[slot] = pvv
+    for c in out_copies(t, slot, f, orow):
+        c.start()
+
+    # drain both output slots on the last tile
+    @pl.when(t == nt - 1)
+    def _():
+        for c in out_copies(t, slot, f, orow):
+            c.wait()
+
+    @pl.when((t == nt - 1) & (t >= 1))
+    def _():
+        pf = (meta_ref[t - 1, 2] + meta_ref[t - 1, 4]) // 128
+        po = meta_ref[t - 1, 6]
+        for c in out_copies(t - 1, nslot, pf, po):
+            c.wait()
+
+
 @functools.partial(
-    jax.jit, static_argnames=("run_len", "interpret", "window"))
+    jax.jit, static_argnames=("run_len", "interpret", "window",
+                              "double_buffer"))
 def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False,
-                    window: int = HBM_WINDOW):
+                    window: int = HBM_WINDOW, double_buffer: bool = False):
     """One cascade level for runs too large to merge in VMEM: ascending runs
     of run_len -> 2*run_len. run_len >= window, n % (2*run_len) == 0.
     `window` (pow2 >= 8192) trades per-tile DMA/grid overhead (~1/window)
@@ -347,6 +440,29 @@ def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False,
     meta = meta.at[:, 5].set(b_hi.reshape(-1) - b0)
 
     wrow = window // 128
+    if double_buffer:
+        scratch = [
+            pltpu.VMEM((2, wrow, 128), jnp.int32),      # asv slots
+            pltpu.VMEM((2, wrow, 128), jnp.int32),      # apv
+            pltpu.VMEM((2, wrow, 128), jnp.int32),      # bsv
+            pltpu.VMEM((2, wrow, 128), jnp.int32),      # bpv
+            pltpu.VMEM((2, 2 * wrow, 128), jnp.int32),  # merged sv slots
+            pltpu.VMEM((2, 2 * wrow, 128), jnp.int32),  # merged pv
+            pltpu.SemaphoreType.DMA((2, 4)),            # input sems
+            pltpu.SemaphoreType.DMA((2, 2)),            # output sems
+        ]
+        kern = functools.partial(_hbm_kernel_db, window=window)
+    else:
+        scratch = [
+            pltpu.VMEM((wrow, 128), jnp.int32),
+            pltpu.VMEM((wrow, 128), jnp.int32),
+            pltpu.VMEM((wrow, 128), jnp.int32),
+            pltpu.VMEM((wrow, 128), jnp.int32),
+            pltpu.VMEM((2 * wrow, 128), jnp.int32),
+            pltpu.VMEM((2 * wrow, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ]
+        kern = functools.partial(_hbm_kernel, window=window)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(meta.shape[0],),
@@ -358,18 +474,10 @@ def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((wrow, 128), jnp.int32),
-            pltpu.VMEM((wrow, 128), jnp.int32),
-            pltpu.VMEM((wrow, 128), jnp.int32),
-            pltpu.VMEM((wrow, 128), jnp.int32),
-            pltpu.VMEM((2 * wrow, 128), jnp.int32),
-            pltpu.VMEM((2 * wrow, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_hbm_kernel, window=window),
+        kern,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n // 128, 128), jnp.int32),
@@ -390,7 +498,8 @@ def _merge_sort_cascade(sv, pv, interpret: bool = False,
                         vmem_tile: int = VMEM_TILE,
                         vmem_levels_per_call: int = 3,
                         hbm_window: int = HBM_WINDOW,
-                        lane_transpose: bool = False):
+                        lane_transpose: bool = False,
+                        hbm_double_buffer: bool = True):
     """Segsort base runs, then VMEM cascade calls, then HBM merge-path
     levels. n must be a power of two >= BASE_RUN."""
     n = sv.shape[0]
@@ -410,7 +519,8 @@ def _merge_sort_cascade(sv, pv, interpret: bool = False,
         run <<= levels
     while run < n:
         sv, pv = merge_level_hbm(sv, pv, run, interpret=interpret,
-                                 window=hbm_window)
+                                 window=hbm_window,
+                                 double_buffer=hbm_double_buffer)
         run <<= 1
     return sv, pv
 

@@ -55,12 +55,14 @@ def test_vmem_levels(rng, lane_transpose):
                     sv[i*m:(i+1)*m], pv[i*m:(i+1)*m])
 
 
-@pytest.mark.parametrize("seed,lo,hi,window", [
-    (0, -(2**31), 2**31, mp.HBM_WINDOW),
-    (1, 0, 64, mp.HBM_WINDOW),
-    (2, -(2**31), 2**31, 2 * mp.HBM_WINDOW),
+@pytest.mark.parametrize("seed,lo,hi,window,db", [
+    (0, -(2**31), 2**31, mp.HBM_WINDOW, False),
+    (1, 0, 64, mp.HBM_WINDOW, False),
+    (2, -(2**31), 2**31, 2 * mp.HBM_WINDOW, False),
+    (3, -(2**31), 2**31, mp.HBM_WINDOW, True),
+    (4, 0, 64, mp.HBM_WINDOW, True),
 ])
-def test_hbm_level(seed, lo, hi, window):
+def test_hbm_level(seed, lo, hi, window, db):
     rng = np.random.RandomState(seed)
     run = 2 * mp.HBM_WINDOW  # legal for both window sizes
     n = 4 * run              # two pairs
@@ -68,7 +70,7 @@ def test_hbm_level(seed, lo, hi, window):
     sv, pv = sorted_runs(sv, pv, run)
     so, po = mp.merge_level_hbm(
         jnp.asarray(sv), jnp.asarray(pv), run, interpret=True,
-        window=window)
+        window=window, double_buffer=db)
     so, po = np.asarray(so), np.asarray(po)
     m = 2 * run
     for i in range(n // m):
