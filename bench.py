@@ -102,6 +102,7 @@ def main():
         "elapsed_s": round(elapsed, 4),
         "phases": {p.name: round(p.seconds, 4) for p in res.timer.phases},
         "hbm_gbps": hbm,
+        "sort_impl": os.environ.get("TPUJOIN_SORT_IMPL", "lax"),
         "device": str(jax.devices()[0].device_kind),
     }))
 

@@ -372,12 +372,17 @@ def _hbm_kernel_db(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
                 opv_hbm.at[pl.ds(orw, vrow)], osems.at[sl, 1]),
         )
 
-    # this slot's previous write-back (tile t-2) must land before reuse
-    @pl.when(t >= 2)
+    # Wait tile t-1's write-back only now — it rode behind this tile's
+    # input-DMA wait and merge compute. Waiting BEFORE starting out(t) also
+    # orders overlapping writes: each pair's LAST tile re-covers rows its
+    # predecessor wrote as +inf junk (tile_out doesn't divide the pair), and
+    # two in-flight DMAs to the same rows have no completion order. Each out
+    # DMA is waited exactly once (here, or below for the final tile).
+    @pl.when(t >= 1)
     def _():
-        pf = (meta_ref[t - 2, 2] + meta_ref[t - 2, 4]) // 128
-        po = meta_ref[t - 2, 6]
-        for c in out_copies(t - 2, slot, pf, po):
+        pf = (meta_ref[t - 1, 2] + meta_ref[t - 1, 4]) // 128
+        po = meta_ref[t - 1, 6]
+        for c in out_copies(t - 1, nslot, pf, po):
             c.wait()
 
     msv[slot] = svv
@@ -385,17 +390,9 @@ def _hbm_kernel_db(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
     for c in out_copies(t, slot, f, orow):
         c.start()
 
-    # drain both output slots on the last tile
     @pl.when(t == nt - 1)
     def _():
         for c in out_copies(t, slot, f, orow):
-            c.wait()
-
-    @pl.when((t == nt - 1) & (t >= 1))
-    def _():
-        pf = (meta_ref[t - 1, 2] + meta_ref[t - 1, 4]) // 128
-        po = meta_ref[t - 1, 6]
-        for c in out_copies(t - 1, nslot, pf, po):
             c.wait()
 
 
