@@ -76,6 +76,19 @@ def _pad_sorted_input(keys: jnp.ndarray, pay: jnp.ndarray):
     return keys, pay
 
 
+def sort_pairs(sv: jnp.ndarray, pay: jnp.ndarray):
+    """The engine's hot 2-operand (sortval, payload) sort, routed through
+    the _SORT_IMPL switch. Signed-int32 ascending, unstable — all three
+    impls agree on the key order and the per-key payload multiset."""
+    if _SORT_IMPL == "merge":
+        from icde2019_gpu_join_tpu.ops.merge_pallas import merge_sort_pairs
+        return merge_sort_pairs(sv, pay)
+    if _SORT_IMPL == "packed":
+        from icde2019_gpu_join_tpu.ops.merge_pallas import packed_sort_pairs
+        return packed_sort_pairs(sv, pay)
+    return jax.lax.sort((sv, pay), num_keys=1, is_stable=False)
+
+
 def sort_by_key(keys: jnp.ndarray, pay: jnp.ndarray):
     """Sort (keys, pay) by uint32 key order; returns 128-padded arrays.
 
@@ -84,14 +97,7 @@ def sort_by_key(keys: jnp.ndarray, pay: jnp.ndarray):
     """
     keys, pay = _pad_sorted_input(keys, pay)
     sv = rotate_keys(keys, 0, 0)
-    if _SORT_IMPL == "merge":
-        from icde2019_gpu_join_tpu.ops.merge_pallas import merge_sort_pairs
-        return merge_sort_pairs(sv, pay)
-    if _SORT_IMPL == "packed":
-        from icde2019_gpu_join_tpu.ops.merge_pallas import packed_sort_pairs
-        return packed_sort_pairs(sv, pay)
-    sv_s, pay_s = jax.lax.sort((sv, pay), num_keys=1, is_stable=False)
-    return sv_s, pay_s
+    return sort_pairs(sv, pay)
 
 
 def _ranks_of_sorted_probes(a: jnp.ndarray, b: jnp.ndarray, a_first_on_ties: bool):

@@ -77,13 +77,8 @@ def radix_partition(
     reference's two passes at any radix depth in one shot.
     """
     sv = rotate_keys(keys, total_bits, first_bit)
-    from icde2019_gpu_join_tpu.ops import band_join as _bj
-    if _bj._SORT_IMPL == "merge":
-        from icde2019_gpu_join_tpu.ops.merge_pallas import merge_sort_pairs
-        sv_sorted, pays_s = merge_sort_pairs(sv, payload)
-    else:
-        sv_sorted, pays_s = jax.lax.sort(
-            (sv, payload), num_keys=1, is_stable=False)
+    from icde2019_gpu_join_tpu.ops.band_join import sort_pairs
+    sv_sorted, pays_s = sort_pairs(sv, payload)
     keys_s = unrotate_keys(sv_sorted, total_bits, first_bit)
     counts, offsets = _csr_from_sorted_sortval(sv_sorted, total_bits)
     return PartitionedRelation(keys_s, pays_s, counts, offsets, total_bits, first_bit)
