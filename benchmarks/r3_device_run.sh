@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-3 device measurement sequence (runbook steps 1-4), unattended.
+# Captures every JSON line under benchmarks/out_r3/. Ordered by decision
+# value per tunnel-minute; every step under `timeout` so one hang cannot
+# eat the window. Scale runs (runbook step 5) are NOT here — they take
+# hours and are launched individually once these results are in.
+set -u
+cd "$(dirname "$0")/.."
+OUT=benchmarks/out_r3
+mkdir -p "$OUT"
+log() { echo "[r3run $(date +%H:%M:%S)] $*"; }
+
+log "device check"
+timeout 180 python -c "import jax; print(jax.devices())" || {
+  log "no device — aborting"; exit 1; }
+
+# --- 1. sort question -------------------------------------------------------
+log "merge_sort_bench stages 24"
+timeout 2400 python benchmarks/merge_sort_bench.py stages 24 \
+  2>&1 | tee "$OUT/sort_stages.jsonl"
+log "merge_sort_bench packed 27"
+timeout 1800 python benchmarks/merge_sort_bench.py packed 27 \
+  2>&1 | tee "$OUT/sort_packed.jsonl"
+log "merge_sort_bench full 27"
+timeout 3600 python benchmarks/merge_sort_bench.py full 27 \
+  2>&1 | tee "$OUT/sort_full.jsonl"
+
+# --- 2. gates + headline under each sort impl -------------------------------
+log "tpu smoke"
+timeout 1800 python benchmarks/tpu_smoke.py 2>&1 | tee "$OUT/smoke.jsonl"
+for impl in lax packed merge; do
+  log "bench.py impl=$impl"
+  TPUJOIN_SORT_IMPL=$impl timeout 2400 python bench.py \
+    2>&1 | tee "$OUT/bench_$impl.jsonl"
+done
+
+# --- 3. exchange leg (config 5) --------------------------------------------
+log "run_configs 5"
+timeout 3600 python benchmarks/run_configs.py --configs 5 \
+  2>&1 | tee "$OUT/config5.jsonl"
+
+# --- 4. overlap evidence ----------------------------------------------------
+log "overlap coprocess 22"
+timeout 2400 python benchmarks/overlap_bench.py coprocess 22 \
+  2>&1 | tee "$OUT/overlap_coprocess.jsonl"
+log "overlap streaming"
+timeout 2400 python benchmarks/overlap_bench.py \
+  2>&1 | tee "$OUT/overlap_streaming.jsonl"
+
+log "DONE — decide sort default from $OUT/bench_*.jsonl, then scale runs"
