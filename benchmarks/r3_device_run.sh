@@ -47,4 +47,9 @@ log "overlap streaming"
 timeout 2400 python benchmarks/overlap_bench.py \
   2>&1 | tee "$OUT/overlap_streaming.jsonl"
 
+# --- 5. Zipf headline refresh (cached 2^27 z=1.05 dataset; cheap) -----------
+log "bench.py zipf 1.05"
+BENCH_SKEW=1.05 timeout 2400 python bench.py \
+  2>&1 | tee "$OUT/bench_zipf.jsonl"
+
 log "DONE — decide sort default from $OUT/bench_*.jsonl, then scale runs"
