@@ -121,6 +121,12 @@ class EngineConfig:
     # dispatches Join1/Join2/Join3 at 128e6+1, hash_join_clustered_probe.cu:2001).
     resident_limit_rows: int = 128_000_001
 
+    # Hot-path (sortval, payload) sort: None = keep the process-global
+    # setting (TPUJOIN_SORT_IMPL env, default "lax"); "lax" | "merge" |
+    # "packed" applies that implementation when the engine runs (switching
+    # clears jax trace caches — see ops.band_join.set_sort_impl).
+    sort_impl: Optional[str] = None
+
     def with_bits(self, total_bits: int) -> "EngineConfig":
         return dataclasses.replace(
             self, radix=dataclasses.replace(self.radix, total_bits=total_bits)

@@ -58,6 +58,9 @@ class ClusteredJoin:
 
     def __init__(self, config: Optional[EngineConfig] = None):
         self.config = config or EngineConfig()
+        if self.config.sort_impl is not None:
+            from icde2019_gpu_join_tpu.ops.band_join import set_sort_impl
+            set_sort_impl(self.config.sort_impl)
 
     def _bits(self, n_r: int, n_s: int) -> int:
         cfg = self.config

@@ -57,11 +57,21 @@ _SORT_IMPL = os.environ.get("TPUJOIN_SORT_IMPL", "lax")
 
 
 def set_sort_impl(name: str) -> None:
-    """Select the hot-path sort ("lax" | "merge" | "packed"). Takes effect on the next
-    jit trace (callers' jit caches key on nothing here — flip before use)."""
+    """Select the hot-path sort ("lax" | "merge" | "packed").
+
+    jit caches do not key on this module global, so an actual switch
+    clears jax's trace caches — otherwise previously traced callers would
+    silently keep the old implementation (round-3 advisor finding)."""
     global _SORT_IMPL
     assert name in ("lax", "merge", "packed")
-    _SORT_IMPL = name
+    if name != _SORT_IMPL:
+        _SORT_IMPL = name
+        jax.clear_caches()
+
+
+def get_sort_impl() -> str:
+    """The currently selected hot-path sort implementation."""
+    return _SORT_IMPL
 
 
 def _pad_sorted_input(keys: jnp.ndarray, pay: jnp.ndarray):

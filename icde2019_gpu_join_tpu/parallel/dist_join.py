@@ -281,7 +281,7 @@ def _two_level_local(rk, rp, sk, sp, host_axis, chip_axis, first_bit, caps):
     (cap_r_h, cap_s_h, cap_r_c, cap_s_c) = caps
     nh = jax.lax.axis_size(host_axis)
     nc = jax.lax.axis_size(chip_axis)
-    hbits = max((nh - 1).bit_length(), 1)
+    hbits = (nh - 1).bit_length()  # 0 when nh == 1 (single-bucket level)
 
     def two_level_side(keys, pays, cap_h, cap_c):
         # Level 1: exchange across hosts on bits [first_bit, +hbits).

@@ -93,7 +93,35 @@ def partition_to_buckets(
     of level-1 frame padding.
     """
     assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be 2^k"
-    bits = max((num_buckets - 1).bit_length(), 1)
+    if num_buckets == 1:
+        # Degenerate mesh (1 device): every row belongs to bucket 0. A
+        # bits>=1 sort would route half the rows to a phantom bucket, so
+        # handle this explicitly: sort (valid rows to the front as a
+        # prefix), take up to cap, emit one padded frame.
+        rot = rotate_keys(keys, 0, first_bit)
+        if valid is not None:
+            rot = jnp.where(valid, rot, _SENT)
+            pays = jnp.where(valid, pays, 0)
+            count = jnp.sum(valid.astype(jnp.int32))
+        else:
+            count = jnp.int32(keys.shape[0])
+        F = frame_rows(cap)
+        n = rot.shape[0]
+        if n < F:
+            rot = jnp.concatenate([rot, jnp.full((F - n,), _SENT, jnp.int32)])
+            pays = jnp.concatenate([pays, jnp.zeros((F - n,), jnp.int32)])
+        rot_s, pays_s = jax.lax.sort((rot, pays), num_keys=1, is_stable=False)
+        take = jnp.minimum(count, cap).astype(jnp.int32)
+        idx = jnp.arange(F, dtype=jnp.int32)
+        live = idx < take
+        out_k = jnp.where(live, unrotate_keys(rot_s[:F], 0, first_bit),
+                          _spread_pad_keys(idx))
+        out_p = jnp.where(live, pays_s[:F], 0)
+        return BucketFrames(
+            out_k[None, :], out_p[None, :],
+            jnp.zeros(1, jnp.int32), take.reshape(1),
+            (count - take).astype(jnp.int32))
+    bits = (num_buckets - 1).bit_length()
     rot = rotate_keys(keys, bits, first_bit)
     if valid is not None:
         rot = jnp.where(valid, rot, _SENT)
@@ -152,7 +180,29 @@ def partition_to_buckets_grouped(
     from icde2019_gpu_join_tpu.ops.partition_radix import radix_group
 
     assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be 2^k"
-    bits = max((num_buckets - 1).bit_length(), 1)
+    if num_buckets == 1:
+        # Degenerate mesh (1 device): pass-through into a single frame, no
+        # grouping needed. Mirrors the general path's frame geometry
+        # (F = (cap // _BLK) blocks) and its kb != _SENT liveness check.
+        F = (cap // _BLK) * _BLK
+        n = keys.shape[0]
+        if n < F:
+            keys = jnp.concatenate([keys, jnp.full((F - n,), _SENT, jnp.int32)])
+            pays = jnp.concatenate([pays, jnp.zeros((F - n,), jnp.int32)])
+        k = keys[:F]
+        p = pays[:F]
+        idx = jnp.arange(F, dtype=jnp.int32)
+        live = k != _SENT
+        out_k = jnp.where(live, k, _spread_pad_keys(idx))
+        out_p = jnp.where(live, p, 0)
+        dropped = (jnp.sum((keys[F:] != _SENT).astype(jnp.int32))
+                   if n > F else jnp.int32(0))
+        return BucketFrames(
+            out_k[None, :], out_p[None, :],
+            jnp.zeros(1, jnp.int32),
+            jnp.sum(live.astype(jnp.int32)).reshape(1),
+            dropped.astype(jnp.int32))
+    bits = (num_buckets - 1).bit_length()
     # rotation puts destination bits on top; radix_group groups by top bits
     rot = rotate_keys(keys, bits, first_bit)
     # radix_group's pid = top bits of the UNSIGNED view (it re-flips the

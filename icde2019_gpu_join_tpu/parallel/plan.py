@@ -67,7 +67,10 @@ def destination_histograms(keys, mesh: Mesh, axis: str, num_buckets: int,
                            first_bit: int) -> np.ndarray:
     """[ndev, num_buckets] per-source-chip destination row counts (host
     numpy). One device pass + one small host pull."""
-    bits = max((num_buckets - 1).bit_length(), 1)
+    if num_buckets == 1:
+        nd = mesh.shape[axis]
+        return np.full((nd, 1), keys.shape[0] // nd, dtype=np.int32)
+    bits = (num_buckets - 1).bit_length()
     h = _hist_fn_1d(mesh, axis, bits, first_bit)(keys)
     return np.asarray(h)[:, :num_buckets]
 
@@ -93,8 +96,8 @@ def plan_caps_2level(
     never enter any level-2 bucket — caps cover real rows only.
     """
     nh, nc = mesh.shape[host_axis], mesh.shape[chip_axis]
-    hbits = max((nh - 1).bit_length(), 1)
-    cbits = max((nc - 1).bit_length(), 1)
+    hbits = (nh - 1).bit_length()  # 0 when the level is a single bucket
+    cbits = (nc - 1).bit_length()
     h = _hist_fn_2d(mesh, host_axis, chip_axis, hbits + cbits, first_bit)(keys)
     joint = np.asarray(h).reshape(nh, nc, 1 << (hbits + cbits))
     # destination id bits: host = low hbits (at first_bit), chip = next cbits
@@ -132,7 +135,11 @@ def plan_cap_grouped(keys, mesh: Mesh, axis: str, num_buckets: int,
     destination) of the DESTINATION BLOCK count radix_group will emit —
     boundary-block and sentinel padding included exactly, so overflow is
     impossible by construction."""
-    bits = max((num_buckets - 1).bit_length(), 1)
+    if num_buckets == 1:
+        # single destination: the frame is a straight pass-through of the
+        # shard (exchange's num_buckets==1 path), no grouping padding
+        return max(_BLK, _round_up(keys.shape[0] // mesh.shape[axis], _BLK))
+    bits = (num_buckets - 1).bit_length()
     pb = _grouped_blocks_fn(mesh, axis, bits, first_bit, chunk)(keys)
     return max(_BLK, int(np.asarray(pb).max()) * _BLK)
 
@@ -165,7 +172,10 @@ def plan_cap_segmented(keys, mesh: Mesh, axis: str, num_buckets: int,
     independently — the cap is the max over (chip, segment, destination)
     of the real fill (rows for method='sort', laid-out block rows for
     method='group')."""
-    bits = max((num_buckets - 1).bit_length(), 1)
+    if num_buckets == 1:
+        seg_rows = keys.shape[0] // mesh.shape[axis] // segments
+        return max(_BLK, _round_up(seg_rows, _BLK))
+    bits = (num_buckets - 1).bit_length()
     m = _segmented_cap_fn(mesh, axis, bits, first_bit, segments, method,
                           chunk)(keys)
     return max(_BLK, _round_up(int(np.asarray(m).max()), _BLK))

@@ -158,16 +158,22 @@ def filter_probe_groupby(r_keys, r_pay, s_keys, s_filter, s_gid, lo, hi,
     lo_i = np.searchsorted(rk, s_keys, side="left")
     hi_i = np.searchsorted(rk, s_keys, side="right")
     keep = (s_filter >= lo) & (s_filter < hi)
-    h = np.where(keep, hi_i - lo_i, 0)                       # matches per S row
+    h = np.where(keep, hi_i - lo_i, 0).astype(np.uint64)     # matches per S row
     t = np.where(keep, pref[hi_i] - pref[lo_i], 0)           # payload sums
-    # bincount-with-weights (np.add.at is ~100x slower); float64 weights are
-    # exact for the per-row values involved (< 2^53); mod 2^32 at the end.
-    counts64 = np.bincount(s_gid, weights=h.astype(np.float64),
-                           minlength=num_groups)
-    sums64 = np.bincount(
-        s_gid, weights=(t & np.uint64(0xFFFFFFFF)).astype(np.float64),
-        minlength=num_groups)
-    counts = (counts64.astype(np.uint64) & np.uint64(0xFFFFFFFF)).astype(
-        np.uint32)
-    sums = (sums64.astype(np.uint64) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    def _bincount_mod32(gid, w32):
+        # bincount-with-weights (np.add.at is ~100x slower). float64 weights
+        # are only exact below 2^53, which a big group's running total can
+        # exceed — so bincount the 16-bit halves separately (each partial
+        # sum < 2^16 * 2^32 = 2^48, exact in float64) and recombine mod 2^32.
+        lo16 = np.bincount(gid, weights=(w32 & np.uint64(0xFFFF)).astype(
+            np.float64), minlength=num_groups)
+        hi16 = np.bincount(gid, weights=((w32 >> np.uint64(16)) & np.uint64(
+            0xFFFF)).astype(np.float64), minlength=num_groups)
+        lo_u = np.mod(lo16, 2.0 ** 32).astype(np.uint64)
+        hi_u = np.mod(hi16, 2.0 ** 16).astype(np.uint64) << np.uint64(16)
+        return ((lo_u + hi_u) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    counts = _bincount_mod32(s_gid, h & np.uint64(0xFFFFFFFF))
+    sums = _bincount_mod32(s_gid, t & np.uint64(0xFFFFFFFF))
     return counts.view(np.int32), sums.view(np.int32)

@@ -195,3 +195,64 @@ def test_bucket_frames_roundtrip(rng):
         orig[np.lexsort((orig[:, 1], orig[:, 0]))])
     for d in range(nd):
         assert np.all(oracle.partition_ids(kg[d][liveg[d]], 3, 0) == d)
+
+
+def test_bucket_frames_single_bucket(rng):
+    """num_buckets=1 regression (round-3 advisor, high): a 1-device mesh
+    must not reshape a 2-group sort into a 1-bucket frame. Both bucketing
+    methods must return one frame holding the full live multiset, and
+    distributed_join_aggregate on a 1-device mesh must run end-to-end."""
+    from icde2019_gpu_join_tpu.parallel.exchange import (
+        frames_valid_mask, partition_to_buckets, partition_to_buckets_grouped)
+
+    n = 5000
+    keys = rng.randint(0, 1 << 20, n).astype(np.int32)
+    pays = rng.randint(1, 1000, n).astype(np.int32)
+    cap = int(-(-n // 128) * 128)
+    orig = np.stack([keys, pays], axis=1)
+    orig = orig[np.lexsort((orig[:, 1], orig[:, 0]))]
+
+    fr = partition_to_buckets(jnp.asarray(keys), jnp.asarray(pays), 1, cap, 0)
+    assert fr.keys.shape[0] == 1 and int(fr.overflow) == 0
+    assert int(fr.count[0]) == n
+    mask = np.asarray(frames_valid_mask(fr.start, fr.count, fr.keys.shape[1]))
+    live = np.stack([np.asarray(fr.keys)[mask], np.asarray(fr.pays)[mask]],
+                    axis=1)
+    assert np.array_equal(live[np.lexsort((live[:, 1], live[:, 0]))], orig)
+
+    # valid-aware: invalid rows never ride as live rows
+    valid = rng.rand(n) < 0.5
+    frv = partition_to_buckets(jnp.asarray(keys), jnp.asarray(pays), 1, cap,
+                               0, valid=jnp.asarray(valid))
+    assert int(frv.overflow) == 0
+    assert int(frv.count[0]) == int(valid.sum())
+    mv = np.asarray(frames_valid_mask(frv.start, frv.count,
+                                      frv.keys.shape[1]))
+    lv = np.stack([np.asarray(frv.keys)[mv], np.asarray(frv.pays)[mv]],
+                  axis=1)
+    ov = np.stack([keys[valid], pays[valid]], axis=1)
+    assert np.array_equal(
+        lv[np.lexsort((lv[:, 1], lv[:, 0]))],
+        ov[np.lexsort((ov[:, 1], ov[:, 0]))])
+
+    fg = partition_to_buckets_grouped(jnp.asarray(keys), jnp.asarray(pays),
+                                      1, cap, 0)
+    assert fg.keys.shape[0] == 1 and int(fg.overflow) == 0
+    pg = np.asarray(fg.pays)[0]
+    kg = np.asarray(fg.keys)[0]
+    liveg = pg != 0
+    got = np.stack([kg[liveg], pg[liveg]], axis=1)
+    assert np.array_equal(got[np.lexsort((got[:, 1], got[:, 0]))], orig)
+
+
+def test_distributed_aggregate_one_device(rng):
+    """Config-5 leg A shape: the distributed pipeline on a 1-device mesh
+    (the round-3 regression's exact failing call)."""
+    rk, rp, sk, sp = make_tables(rng, n_r=1024, n_s=4096, dup_build=True)
+    mesh = make_mesh(1)
+    for method in ("group", "sort"):
+        agg, overflow = distributed_join_aggregate(
+            jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk),
+            jnp.asarray(sp), mesh, method=method)
+        assert int(overflow) == 0
+        assert int(agg) == oracle.join_aggregate(rk, rp, sk, sp)
