@@ -215,12 +215,19 @@ def distributed_join_segmented(
     slack: Optional[float] = None,
     method: str = "group",
     chunk: int = 4096,
+    split_heavy: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed join with the probe side streamed in segments so the ICI
     all-to-all of segment k+1 can overlap the banded probe of segment k
     (S_segment_size analog: min(CHUNK_SIZE, n/4),
     src/hash_join_clustered_probe.cu:1017). Returns (aggregate, overflow).
-    This is the DEFAULT distributed pipeline (config 5 / dryrun)."""
+    This is the DEFAULT distributed pipeline (config 5 / dryrun).
+
+    split_heavy: None (auto, default) runs a cheap coarse destination
+    histogram; when some destination would receive >2x its fair share, the
+    fine-grained PRPD heavy-split plan kicks in (heavy R broadcast + local
+    heavy S, _local_heavy_segmented). True forces the fine plan; False
+    disables splitting entirely."""
     nd = mesh.shape[axis]
     n_r, n_s = r_keys.shape[0], s_keys.shape[0]
 
@@ -228,6 +235,22 @@ def distributed_join_segmented(
         fn = _segmented_fn(mesh, axis, first_bit, cap_r, cap_s,
                            num_segments, method, chunk)
         return fn(r_keys, r_pay, s_keys, s_pay)
+
+    if split_heavy is not False and slack is None and nd > 1:
+        probe_fine = split_heavy is True
+        if not probe_fine:
+            coarse = xplan.destination_histograms(s_keys, mesh, axis, nd,
+                                                  first_bit)
+            probe_fine = coarse.sum(axis=0).max() > 2.0 * (n_s / nd)
+        if probe_fine:
+            hplan = xplan.plan_heavy_split(r_keys, s_keys, mesh, axis, nd,
+                                           first_bit,
+                                           segments=num_segments)
+            if hplan.split:
+                fn = _heavy_segmented_fn(
+                    mesh, axis, first_bit, hplan.fbits, hplan.heavy_ids,
+                    hplan.cap_r, hplan.cap_s, hplan.cap_rh, num_segments)
+                return fn(r_keys, r_pay, s_keys, s_pay)
 
     if slack is None:
         caps = _exact_caps(r_keys, s_keys, mesh, axis, nd, first_bit,
@@ -260,6 +283,126 @@ def _segmented_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
                 _local_segmented,
                 axis=axis, first_bit=first_bit, cap_r=cap_r, cap_s=cap_s,
                 num_segments=num_segments, method=method, chunk=chunk,
+            ),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+def _is_heavy_mask(keys, fbits: int, first_bit: int, heavy_ids):
+    """Bool mask: rows whose fine radix bucket is in the static heavy set
+    (small unrolled compare chain — no gather)."""
+    from icde2019_gpu_join_tpu.ops.bits import partition_ids
+
+    fid = partition_ids(keys, fbits, first_bit)
+    m = jnp.zeros(fid.shape, jnp.bool_)
+    for h in heavy_ids:
+        m = m | (fid == jnp.int32(h))
+    return m
+
+
+def _pack_heavy(keys, pays, mask, cap: int, first_bit: int):
+    """Compact the masked rows into a static [cap] frame (sort-to-front),
+    pad slots payload-0 with spread keys. Returns (keys, pays, overflow)."""
+    from icde2019_gpu_join_tpu.ops.bits import rotate_keys, unrotate_keys
+    from icde2019_gpu_join_tpu.parallel.exchange import (_SENT,
+                                                         _spread_pad_keys)
+
+    sv = jnp.where(mask, rotate_keys(keys, 0, first_bit), _SENT)
+    pz = jnp.where(mask, pays, 0)
+    n = sv.shape[0]
+    if n < cap:
+        sv = jnp.concatenate([sv, jnp.full((cap - n,), _SENT, jnp.int32)])
+        pz = jnp.concatenate([pz, jnp.zeros((cap - n,), jnp.int32)])
+    sv_s, p_s = jax.lax.sort((sv, pz), num_keys=1, is_stable=False)
+    sv_s, p_s = sv_s[:cap], p_s[:cap]
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    live = idx < cnt
+    out_k = jnp.where(live, unrotate_keys(sv_s, 0, first_bit),
+                      _spread_pad_keys(idx))
+    out_p = jnp.where(live, p_s, 0)
+    return out_k, out_p, jnp.maximum(cnt - cap, 0)
+
+
+def _local_heavy_segmented(rk, rp, sk, sp, axis, first_bit, fbits,
+                           heavy_ids, cap_r, cap_s, cap_rh, num_segments):
+    """PRPD heavy-split segmented join (north-star 'heavy-hitter skew
+    detection with partition splitting'; reference analog: decompose_chains
+    src/join-primitives.cu:843-874 + knapsack batching
+    src/partition-primitives.cu:307-469):
+
+      * build side: normal rows ride the usual all_to_all; rows in heavy
+        fine buckets are compacted into a [cap_rh] frame and all_gather-
+        REPLICATED to every chip (R's side of a hot key is small — one row
+        for PK-FK — so the broadcast is cheap);
+      * probe side: normal rows ride the all_to_all; heavy rows are joined
+        WHERE THEY ALREADY LIVE — input placement spreads a hot key's rows
+        ~uniformly over source chips, which is exactly the balance we want
+        (no chip ever receives a whole hot destination).
+
+    Exactness: heavy rows are valid-masked OUT of the normal exchange, so
+    each (r, s) match pair is counted exactly once — normal x normal on the
+    key's owner chip, heavy x heavy on the S row's home chip (replicated R
+    makes the match local); cross terms have disjoint key sets."""
+    from icde2019_gpu_join_tpu.ops.band_join import banded_probe, sort_by_key
+    from icde2019_gpu_join_tpu.parallel.exchange import _spread_pad_keys
+
+    nd = jax.lax.axis_size(axis)
+    hm_r = _is_heavy_mask(rk, fbits, first_bit, heavy_ids)
+    fr = partition_to_buckets(rk, rp, nd, cap_r, first_bit, valid=~hm_r)
+    gk_r, gp_r = all_to_all_exchange(fr.keys, fr.pays, axis)
+    hk, hp, ov_h = _pack_heavy(rk, rp, hm_r, cap_rh, first_bit)
+    ghk = jax.lax.all_gather(hk, axis, tiled=True)
+    ghp = jax.lax.all_gather(hp, axis, tiled=True)
+    r_sv, r_p = sort_by_key(
+        jnp.concatenate([gk_r.reshape(-1), ghk]),
+        jnp.concatenate([gp_r.reshape(-1), ghp]))
+
+    sk_seg = sk.reshape(num_segments, -1)
+    sp_seg = sp.reshape(num_segments, -1)
+    seg_idx = jnp.arange(sk_seg.shape[1], dtype=jnp.int32)
+
+    def seg_step(carry, seg):
+        acc, ov = carry
+        k, p = seg
+        hm = _is_heavy_mask(k, fbits, first_bit, heavy_ids)
+        fs = partition_to_buckets(k, p, nd, cap_s, first_bit, valid=~hm)
+        gk, gp = all_to_all_exchange(fs.keys, fs.pays, axis)
+        # heavy S rows stay local; non-heavy slots become payload-0 pads
+        # with spread keys (a sentinel run would blow up the band window)
+        lk = jnp.where(hm, k, _spread_pad_keys(seg_idx))
+        lp = jnp.where(hm, p, 0)
+        s_sv, s_p = sort_by_key(
+            jnp.concatenate([gk.reshape(-1), lk]),
+            jnp.concatenate([gp.reshape(-1), lp]))
+        agg = banded_probe(r_sv, r_p, s_sv, s_p, 2, "mul")
+        return (acc + agg.astype(jnp.uint32), ov + fs.overflow), None
+
+    (acc, ov_s), _ = jax.lax.scan(
+        seg_step, (jnp.uint32(0) + (rk[0] * 0).astype(jnp.uint32),
+                   fr.overflow * 0),
+        (sk_seg, sp_seg))
+    agg = jax.lax.psum(acc, axis).astype(jnp.int32)
+    overflow = jax.lax.psum(fr.overflow + ov_h + ov_s, axis)
+    return agg, overflow
+
+
+@functools.lru_cache(maxsize=64)
+def _heavy_segmented_fn(mesh: Mesh, axis: str, first_bit: int, fbits: int,
+                        heavy_ids: tuple, cap_r: int, cap_s: int,
+                        cap_rh: int, num_segments: int):
+    """Cached jitted shard_map (see _aggregate_fn)."""
+    return jax.jit(
+        jax.shard_map(
+            partial(
+                _local_heavy_segmented,
+                axis=axis, first_bit=first_bit, fbits=fbits,
+                heavy_ids=heavy_ids, cap_r=cap_r, cap_s=cap_s,
+                cap_rh=cap_rh, num_segments=num_segments,
             ),
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),

@@ -190,3 +190,122 @@ def heavy_destinations(hist: np.ndarray, threshold_factor: float = 4.0
     totals = hist.sum(axis=0)
     expect = max(1.0, totals.sum() / hist.shape[1])
     return np.nonzero(totals > threshold_factor * expect)[0].astype(np.int32)
+
+
+# --- Heavy-hitter split planning (PRPD skew handling) -----------------------
+#
+# The distributed analog of the reference's skew machinery
+# (decompose_chains sub-chain splitting, src/join-primitives.cu:843-874, and
+# the knapsack batcher, src/partition-primitives.cu:307-469): detect fine
+# radix buckets whose probe-side row count would dominate one chip, then
+# handle them PRPD-style (partial redistribution, partial duplication) —
+# the matching build rows are all_gather-replicated to every chip and the
+# heavy probe rows are joined where they already live (input placement is
+# the balancer), while everything else rides the normal all_to_all.
+
+
+class HeavySplitPlan:
+    """Static plan for the heavy-split exchange (host-computed, hashable —
+    feeds jit static args)."""
+
+    def __init__(self, heavy_ids: Tuple[int, ...], fbits: int, cap_r: int,
+                 cap_s: int, cap_rh: int, load_rows: np.ndarray):
+        self.heavy_ids = tuple(int(h) for h in heavy_ids)
+        self.fbits = int(fbits)
+        self.cap_r = int(cap_r)    # normal R bucket cap (heavy excluded)
+        self.cap_s = int(cap_s)    # normal S bucket cap (heavy excluded,
+        #                            per segment when planned segmented)
+        self.cap_rh = int(cap_rh)  # per-chip heavy-R broadcast frame rows
+        self.load_rows = load_rows  # [ndev] projected probe rows per chip
+
+    @property
+    def split(self) -> bool:
+        return len(self.heavy_ids) > 0
+
+
+@functools.lru_cache(maxsize=64)
+def _fine_hist_fn(mesh: Mesh, axis: str, bits: int, first_bit: int,
+                  segments: int):
+    """Per-(chip, segment) fine histogram via rotate+sort+searchsorted —
+    one-hot compare-reduce is O(n * 2^bits) and unusable at fine widths."""
+    from icde2019_gpu_join_tpu.ops.bits import (partition_boundaries,
+                                                rotate_keys)
+
+    def one(keys):
+        rot_s = jnp.sort(rotate_keys(keys, bits, first_bit))
+        bounds = jnp.concatenate(
+            [partition_boundaries(bits),
+             jnp.asarray([0x7FFFFFFF], jnp.int32)])
+        offs = jnp.searchsorted(rot_s, bounds, side="left").astype(jnp.int32)
+        return jnp.diff(offs)
+
+    def f(keys):
+        return jax.vmap(one)(keys.reshape(segments, -1))[None]
+
+    return jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis, None, None)))
+
+
+def fine_histograms(keys, mesh: Mesh, axis: str, fbits: int,
+                    first_bit: int = 0, segments: int = 1) -> np.ndarray:
+    """[ndev, segments, 2^fbits] per-chip per-segment fine radix histogram
+    (sort-based: usable at widths where one-hot histograms are not)."""
+    return np.asarray(
+        _fine_hist_fn(mesh, axis, fbits, first_bit, segments)(keys))
+
+
+def plan_heavy_split(
+    r_keys, s_keys, mesh: Mesh, axis: str, num_buckets: int,
+    first_bit: int = 0, extra_bits: int = 6, heavy_fraction: float = 0.25,
+    max_heavy: int = 128, segments: int = 1,
+) -> HeavySplitPlan:
+    """Plan the PRPD heavy-split exchange from one fine-histogram pre-pass
+    per side.
+
+    A fine bucket (destination bits + extra_bits more) is HEAVY when its
+    global S row count exceeds heavy_fraction x the uniform per-chip share
+    (n_s / ndev) — i.e. it alone would claim a meaningful fraction of one
+    chip. Detection reuses heavy_destinations() with the threshold mapped
+    onto its mean-relative factor. At most max_heavy buckets split (largest
+    first); ties toward fewer splits.
+
+    Caps are exact: cap_r / cap_s cover the normal exchange with heavy rows
+    excluded; cap_rh covers the largest per-chip heavy R residue.
+    """
+    nd = mesh.shape[axis]
+    dbits = (nd - 1).bit_length()
+    fbits = min(dbits + extra_bits, 22)
+    nfine = 1 << fbits
+    hist_s = fine_histograms(s_keys, mesh, axis, fbits, first_bit,
+                             segments)                    # [nd, seg, nfine]
+    hist_r = fine_histograms(r_keys, mesh, axis, fbits, first_bit, 1)
+    tot_s = hist_s.sum(axis=(0, 1))                       # [nfine]
+    n_s = int(tot_s.sum())
+    # heavy_fraction * n_s / nd, expressed as a factor of the per-fine-
+    # bucket mean (n_s / nfine) for heavy_destinations:
+    factor = heavy_fraction * nfine / nd
+    heavy = heavy_destinations(hist_s.sum(axis=1), factor)
+    if len(heavy) > max_heavy:
+        heavy = heavy[np.argsort(tot_s[heavy])[::-1][:max_heavy]]
+        heavy = np.sort(heavy)
+    mask = np.ones(nfine, bool)
+    mask[heavy] = False
+    # destination of fine bucket f is its low dbits (nd is a power of two)
+    m3 = mask.reshape(-1, nd) if nd > 1 else mask.reshape(-1, 1)
+    hs = hist_s.reshape(hist_s.shape[0], segments, -1, nd if nd > 1 else 1)
+    hr = hist_r.reshape(hist_r.shape[0], 1, -1, nd if nd > 1 else 1)
+    norm_s = (hs * m3[None, None]).sum(axis=2)            # [nd, seg, nd]
+    norm_r = (hr * m3[None, None]).sum(axis=2)            # [nd, 1, nd]
+    cap_s = max(_BLK, _round_up(norm_s.max(), _BLK))
+    cap_r = max(_BLK, _round_up(norm_r.max(), _BLK))
+    heavy_r_per_chip = hist_r[:, 0][:, ~mask].sum(axis=1) if len(heavy) \
+        else np.zeros(hist_r.shape[0], np.int64)
+    cap_rh = max(_BLK, _round_up(heavy_r_per_chip.max(), _BLK)) \
+        if len(heavy) else _BLK
+    # projected probe-row load per chip: normal S received + heavy S kept
+    # local (+ the R broadcast, identical everywhere — excluded from spread)
+    recv_s = norm_s.sum(axis=(0, 1))                      # [nd] received
+    local_heavy_s = hist_s.sum(axis=1)[:, ~mask].sum(axis=1)
+    load = recv_s + local_heavy_s
+    return HeavySplitPlan(tuple(int(h) for h in np.asarray(heavy)), fbits,
+                          cap_r, cap_s, cap_rh, load.astype(np.int64))

@@ -256,3 +256,81 @@ def test_distributed_aggregate_one_device(rng):
             jnp.asarray(sp), mesh, method=method)
         assert int(overflow) == 0
         assert int(agg) == oracle.join_aggregate(rk, rp, sk, sp)
+
+
+@needs_8
+def test_heavy_split_single_dominant_key(rng):
+    """North-star skew mandate: one key carries 50% of S. The PRPD heavy
+    split must (a) detect it, (b) keep the result bit-exact (including a
+    duplicated R key on the hot value), (c) project per-chip probe load
+    within 2x of the uniform share, and (d) actually be the path
+    distributed_join_segmented takes."""
+    from icde2019_gpu_join_tpu.parallel import dist_join, plan as xplan
+
+    n_r, n_s, nd = 2048, 16384, 8
+    rk = rng.permutation(n_r).astype(np.int32)
+    hot = int(rk[13])
+    # duplicate the hot key (and a few others) in R: replicated-R
+    # multiplicity must be preserved by the split
+    rk[100] = hot
+    rk[200] = hot
+    rp = rng.randint(1, 1000, n_r).astype(np.int32)
+    sk = np.where(rng.rand(n_s) < 0.5, hot,
+                  rk[rng.randint(0, n_r, n_s)]).astype(np.int32)
+    sp = rng.randint(1, 1000, n_s).astype(np.int32)
+    want = oracle.join_aggregate(rk, rp, sk, sp)
+    mesh = make_mesh(nd)
+
+    hplan = xplan.plan_heavy_split(jnp.asarray(rk), jnp.asarray(sk), mesh,
+                                   "x", nd, segments=4)
+    assert hplan.split, "50%-one-key S must trigger the split"
+    uniform = n_s / nd
+    assert hplan.load_rows.max() <= 2.0 * uniform, (
+        f"projected spread {hplan.load_rows.max() / uniform:.2f}x")
+
+    dist_join._heavy_segmented_fn.cache_clear()
+    agg, ov = dist_join.distributed_join_segmented(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        mesh, num_segments=4)
+    assert int(ov) == 0
+    assert int(agg) == want
+    assert dist_join._heavy_segmented_fn.cache_info().misses >= 1, (
+        "heavy-split path was not taken")
+
+
+@needs_8
+def test_heavy_split_adversarial_zipf(rng):
+    """z=1.6 Zipf probe keys at 8 devices: real concentration (top key
+    ~30%+). Bit-exact through the auto split path."""
+    from icde2019_gpu_join_tpu.parallel import dist_join
+
+    n_r, n_s, nd = 4096, 32768, 8
+    rk = rng.permutation(n_r).astype(np.int32)
+    rp = rng.randint(1, 1000, n_r).astype(np.int32)
+    idx = (np.random.default_rng(7).zipf(1.6, n_s) - 1) % n_r
+    sk = rk[idx].astype(np.int32)
+    sp = rng.randint(1, 1000, n_s).astype(np.int32)
+    want = oracle.join_aggregate(rk, rp, sk, sp)
+    mesh = make_mesh(nd)
+    agg, ov = dist_join.distributed_join_segmented(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        mesh, num_segments=4)
+    assert int(ov) == 0
+    assert int(agg) == want
+
+
+@needs_8
+def test_heavy_split_uniform_is_noop(rng):
+    """Uniform keys must NOT take the split path (coarse check passes) and
+    stay bit-exact on the normal pipeline."""
+    from icde2019_gpu_join_tpu.parallel import dist_join
+
+    rk, rp, sk, sp = make_tables(rng, n_r=4096, n_s=16384, dup_build=True)
+    mesh = make_mesh(8)
+    dist_join._heavy_segmented_fn.cache_clear()
+    agg, ov = dist_join.distributed_join_segmented(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        mesh, num_segments=4)
+    assert int(ov) == 0
+    assert int(agg) == oracle.join_aggregate(rk, rp, sk, sp)
+    assert dist_join._heavy_segmented_fn.cache_info().misses == 0
