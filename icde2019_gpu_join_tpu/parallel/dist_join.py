@@ -412,6 +412,94 @@ def _heavy_segmented_fn(mesh: Mesh, axis: str, first_bit: int, fbits: int,
     )
 
 
+def _local_materialize(rk, rp, sk, sp, axis, first_bit, cap_r, cap_s,
+                       capacity, wrap):
+    """Exchange both sides with sort-based frames + (start,count) metadata,
+    mask the received pad rows to NON-MATCHING sentinel keys, then run the
+    single-chip banded materializer on the local key range.
+
+    Pad masking is what makes materialization exact: aggregate paths only
+    need pads to carry payload 0 (their spread keys may collide with real
+    keys, contributing Pr*0 = 0), but a materialized (Pr, 0) row would be
+    a spurious output. R pads become key -1 (sortval 0x7FFFFFFF — the
+    engine's own R-side pad convention) and S pads key -2 (sortval
+    0x7FFFFFFE) — both sort after every real key (>= 0 by the engine
+    key-domain contract) and never equal each other. The asymmetry is
+    deliberate: the banded compare kernels mask INVALID R window slots to
+    _R_PAD_SV = 0x7FFFFFFF, so an S-side row carrying that same sortval
+    would spuriously "match" every masked window slot (measured: 3.4M
+    phantom pairs at 16K rows) — S pads must sit at 0x7FFFFFFE instead.
+    Reference analog: join_partitioned_results' materializing probe
+    (src/hash_join_clustered_probe.cu:1947-1961), whose atomic-cursor
+    output order is nondeterministic — parity is defined on the (Pr, Ps)
+    multiset."""
+    from icde2019_gpu_join_tpu.ops.band_join import banded_materialize
+
+    nd = jax.lax.axis_size(axis)
+
+    def xch(k, p, cap):
+        f = partition_to_buckets(k, p, nd, cap, first_bit)
+        gk, gp = all_to_all_exchange(f.keys, f.pays, axis)
+        st, ct = all_to_all_meta(f.start, f.count, axis)
+        valid = frames_valid_mask(st, ct, frame_rows(cap)).reshape(-1)
+        return gk.reshape(-1), gp.reshape(-1), valid, f.overflow
+
+    gk_r, gp_r, val_r, ov_r = xch(rk, rp, cap_r)
+    gk_s, gp_s, val_s, ov_s = xch(sk, sp, cap_s)
+    rk2 = jnp.where(val_r, gk_r, jnp.int32(-1))
+    rp2 = jnp.where(val_r, gp_r, 0)
+    sk2 = jnp.where(val_s, gk_s, jnp.int32(-2))
+    sp2 = jnp.where(val_s, gp_s, 0)
+    out_r, out_s, total = banded_materialize(rk2, rp2, sk2, sp2,
+                                             capacity=capacity, wrap=wrap)
+    overflow = jax.lax.psum(ov_r + ov_s, axis)
+    return out_r, out_s, total.reshape(1), overflow
+
+
+def distributed_join_materialize(
+    r_keys, r_pay, s_keys, s_pay,
+    mesh: Mesh,
+    capacity_per_chip: int,
+    axis: str = "x",
+    first_bit: int = 0,
+    wrap: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Distributed materializing join over a 1D mesh: every matched
+    (Pr, Ps) pair lands in the output buffer of the chip owning its key's
+    radix range. Returns (out_r [nd*cap], out_s [nd*cap], totals [nd],
+    overflow scalar): chip d's rows live in out_*[d*cap:(d+1)*cap], its
+    true match count in totals[d] (slots >= total are zeroed; with
+    wrap=True excess matches wrap the per-chip ring, the FOLD semantics of
+    src/join-primitives.cu:1371-1373; wrap=False truncates). Global match
+    count = totals.sum(). Caps come from the exact histogram pre-pass, so
+    exchange overflow is 0 by construction."""
+    nd = mesh.shape[axis]
+    caps = _exact_caps(r_keys, s_keys, mesh, axis, nd, first_bit,
+                       "sort", 0)
+    fn = _materialize_fn(mesh, axis, first_bit, caps[0], caps[1],
+                         int(capacity_per_chip), bool(wrap))
+    return fn(r_keys, r_pay, s_keys, s_pay)
+
+
+@functools.lru_cache(maxsize=64)
+def _materialize_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
+                    cap_s: int, capacity: int, wrap: bool):
+    """Cached jitted shard_map (see _aggregate_fn)."""
+    return jax.jit(
+        jax.shard_map(
+            partial(
+                _local_materialize,
+                axis=axis, first_bit=first_bit, cap_r=cap_r, cap_s=cap_s,
+                capacity=capacity, wrap=wrap,
+            ),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P()),
+            check_vma=False,
+        )
+    )
+
+
 def _two_level_local(rk, rp, sk, sp, host_axis, chip_axis, first_bit, caps):
     """Two-level exchange: hosts exchange over DCN first (outer radix bits),
     then chips within a host over ICI (next bits). This keeps the heavy

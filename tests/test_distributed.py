@@ -334,3 +334,66 @@ def test_heavy_split_uniform_is_noop(rng):
     assert int(ov) == 0
     assert int(agg) == oracle.join_aggregate(rk, rp, sk, sp)
     assert dist_join._heavy_segmented_fn.cache_info().misses == 0
+
+
+@needs_8
+def test_distributed_materialize_matches_oracle(rng):
+    """Distributed materialization (north star: bit-identical 'join results
+    and aggregates'): the union of per-chip output buffers is exactly the
+    oracle's (Pr, Ps) match multiset; per-chip totals sum to the match
+    count; pad rows exchanged between chips never materialize."""
+    from icde2019_gpu_join_tpu.parallel import distributed_join_materialize
+
+    n_r, n_s, nd = 4096, 16384, 8
+    rk = rng.randint(0, 2 * n_r, n_r).astype(np.int32)
+    sk = rk[rng.randint(0, n_r, n_s)].astype(np.int32)
+    sk[rng.randint(0, n_s, n_s // 4)] = rng.randint(
+        2 * n_r, 4 * n_r, n_s // 4).astype(np.int32)  # some non-matching
+    rp = rng.randint(1, 1000, n_r).astype(np.int32)
+    sp = rng.randint(1, 1000, n_s).astype(np.int32)
+    expect = oracle.join_materialize(rk, rp, sk, sp)
+    mesh = make_mesh(nd)
+    cap = -(-(expect.shape[0] // nd + 4096) // 128) * 128
+    out_r, out_s, totals, ov = distributed_join_materialize(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        mesh, capacity_per_chip=cap)
+    assert int(ov) == 0
+    totals = np.asarray(totals)
+    pairs = np.stack([np.asarray(out_r), np.asarray(out_s)], axis=1)
+    # per-chip live slots are [0, total); everything else must be zeroed
+    live = np.zeros(nd * cap, bool)
+    for d in range(nd):
+        assert totals[d] <= cap, "capacity heuristic too small for test"
+        live[d * cap: d * cap + totals[d]] = True
+    assert not np.any(pairs[~live]), "dead slots must be zero"
+    assert int(totals.sum()) == expect.shape[0]
+    got = pairs[live]
+    got = got[np.lexsort((got[:, 1], got[:, 0]))]
+    assert np.array_equal(got, expect)
+
+
+@needs_8
+def test_distributed_materialize_truncates(rng):
+    """wrap=False with a tiny per-chip capacity: totals still report the
+    TRUE per-chip match counts and every emitted pair is a real match."""
+    from icde2019_gpu_join_tpu.parallel import distributed_join_materialize
+
+    n_r, n_s, nd = 1024, 8192, 8
+    rk = rng.permutation(n_r).astype(np.int32)
+    sk = rk[rng.randint(0, n_r, n_s)].astype(np.int32)
+    rp = rng.randint(1, 1000, n_r).astype(np.int32)
+    sp = rng.randint(1, 1000, n_s).astype(np.int32)
+    expect = oracle.join_materialize(rk, rp, sk, sp)
+    expect_set = set(map(tuple, expect.tolist()))
+    mesh = make_mesh(nd)
+    cap = 256
+    out_r, out_s, totals, ov = distributed_join_materialize(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        mesh, capacity_per_chip=cap, wrap=False)
+    assert int(ov) == 0
+    assert int(np.asarray(totals).sum()) == n_s  # PK-FK: one match per S row
+    pairs = np.stack([np.asarray(out_r), np.asarray(out_s)], axis=1)
+    pairs = pairs[(pairs[:, 0] != 0) | (pairs[:, 1] != 0)]
+    assert pairs.shape[0] > 0
+    for pr, ps in pairs.tolist():
+        assert (pr, ps) in expect_set
