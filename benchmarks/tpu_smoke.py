@@ -72,6 +72,55 @@ def main():
     check("banded_compare_per_s", _per_s)
     check("banded_compare_first", _first)
 
+    # --- merge cascade (the selectable hot-path sort) ----------------------
+    # Interpret-green is not device-green (Mosaic lowerings differ); a
+    # regression here must never silently eat the hot path when
+    # TPUJOIN_SORT_IMPL=merge/packed is flipped on.
+    from icde2019_gpu_join_tpu.ops.merge_pallas import (
+        HBM_WINDOW, merge_level_hbm, merge_sort_pairs, packed_sort_pairs)
+
+    def _sorted_pair_check(name, fn, n):
+        # avoid INT_MIN/INT_MAX: those trip merge_sort_pairs' lax.sort
+        # fallback and the cascade itself would never run
+        sv = rng.randint(-(2**31) + 1, 2**31 - 1, n).astype(np.int32)
+        pv = rng.randint(-(2**31), 2**31, n).astype(np.int32)
+        gs, gp = fn(jnp.asarray(sv), jnp.asarray(pv))
+        es, ep = jax.lax.sort((jnp.asarray(sv), jnp.asarray(pv)),
+                              num_keys=1, is_stable=False)
+        assert np.array_equal(np.asarray(gs), np.asarray(es)), name
+        # payload multiset must agree per key (unstable sorts may permute
+        # payloads within equal-key runs): compare (key, payload)-sorted
+        got2 = np.stack([np.asarray(gs), np.asarray(gp)], 1)
+        exp2 = np.stack([np.asarray(es), np.asarray(ep)], 1)
+        assert np.array_equal(
+            got2[np.lexsort((got2[:, 1], got2[:, 0]))],
+            exp2[np.lexsort((exp2[:, 1], exp2[:, 0]))]), name
+
+    check("merge_sort_pairs (full cascade)",
+          lambda: _sorted_pair_check("merge", merge_sort_pairs, 1 << 18))
+    check("packed_sort_pairs (uint64 pack)",
+          lambda: _sorted_pair_check("packed", packed_sort_pairs, 1 << 18))
+
+    def _hbm_level(db):
+        n, run = 1 << 18, 1 << 17
+        sv = rng.randint(-(2**31) + 1, 2**31 - 1, n).astype(np.int32)
+        pv = rng.randint(-(2**31), 2**31, n).astype(np.int32)
+        sv2 = np.concatenate([np.sort(sv[:run]), np.sort(sv[run:])])
+        pv2 = np.concatenate([pv[:run][np.argsort(sv[:run], kind="stable")],
+                              pv[run:][np.argsort(sv[run:], kind="stable")]])
+        gs, gp = merge_level_hbm(jnp.asarray(sv2), jnp.asarray(pv2), run,
+                                 interpret=(dev.platform == "cpu"),
+                                 double_buffer=db)
+        assert np.array_equal(np.asarray(gs), np.sort(sv)), f"db={db}"
+        got2 = np.stack([np.asarray(gs), np.asarray(gp)], 1)
+        exp2 = np.stack([sv, pv], 1)
+        assert np.array_equal(
+            got2[np.lexsort((got2[:, 1], got2[:, 0]))],
+            exp2[np.lexsort((exp2[:, 1], exp2[:, 0]))]), f"db={db}"
+
+    check("merge_level_hbm", lambda: _hbm_level(False))
+    check("merge_level_hbm (double_buffer)", lambda: _hbm_level(True))
+
     # --- probe_aggregate_ranges (scalar-prefetch DMA kernel) --------------
     def _probe_ranges():
         from icde2019_gpu_join_tpu.ops.probe_pallas import (
