@@ -75,6 +75,10 @@ def native_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int),
     ]
     lib.tj_knapsack_batches.restype = ctypes.c_int
+    lib.tj_oracle_join_aggregate.argtypes = [
+        i32p, i32p, ctypes.c_uint64, i32p, i32p, ctypes.c_uint64,
+    ]
+    lib.tj_oracle_join_aggregate.restype = ctypes.c_int32
     _lib = lib
     return _lib
 
@@ -181,6 +185,28 @@ def host_partition(
 
     k, p, c, o = oracle.radix_partition(keys, pays, bits, first_bit)
     return k, p, c, o
+
+
+def oracle_join_aggregate(
+    r_keys: np.ndarray, r_pay: np.ndarray,
+    s_keys: np.ndarray, s_pay: np.ndarray,
+) -> Optional[int]:
+    """Native C++ oracle join aggregate SUM(Pr*Ps) mod 2^32 (the analog of
+    the reference's never-called CPU oracle joinCpu,
+    src/hash_join_clustered_probe.cu:2025-2059). Fully independent of the
+    JAX/device path — used as the benchmark correctness gate. Returns None
+    when the native library is unavailable (caller falls back to the numpy
+    oracle)."""
+    lib = native_lib()
+    if lib is None:
+        return None
+    rk = np.ascontiguousarray(r_keys, dtype=np.int32)
+    rp = np.ascontiguousarray(r_pay, dtype=np.int32)
+    sk = np.ascontiguousarray(s_keys, dtype=np.int32)
+    sp = np.ascontiguousarray(s_pay, dtype=np.int32)
+    return int(lib.tj_oracle_join_aggregate(
+        _i32p(rk), _i32p(rp), rk.shape[0], _i32p(sk), _i32p(sp),
+        sk.shape[0]))
 
 
 def staging_copy(dst: np.ndarray, src: np.ndarray, num_threads: int = 0):

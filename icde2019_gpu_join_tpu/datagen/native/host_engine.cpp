@@ -385,4 +385,92 @@ int tj_knapsack_batches(const double* gains, int n, int capacity,
   return batch;
 }
 
+// ---------------------------------------------------------------------------
+// Host oracle join aggregate: SUM(Pr * Ps) over all matching (r, s) pairs,
+// int32 wraparound — the TPU-native stand-in for the reference's CPU oracle
+// join (joinCpu, reference src/hash_join_clustered_probe.cu:2025-2059, which
+// is compiled but never called). Used by the benchmark correctness gate: an
+// implementation fully independent of the JAX/device path (no lax.sort, no
+// shared code), fast enough to check 2^27-row configs.
+//
+// Algorithm: single-pass radix partition of both sides by low key bits into
+// cache-sized partitions, then a per-partition chained hash table over R
+// probed by S. All accumulation in uint32 (wraps mod 2^32, associative, so
+// any evaluation order matches the reference's atomic int32 accumulation).
+// ---------------------------------------------------------------------------
+
+int32_t tj_oracle_join_aggregate(const int32_t* rk, const int32_t* rp,
+                                 uint64_t n_r, const int32_t* sk,
+                                 const int32_t* sp, uint64_t n_s) {
+  if (n_r == 0 || n_s == 0) return 0;
+
+  // Partition count: target ~2^16 R rows per partition, capped at 2^12.
+  int log_p = 0;
+  while (log_p < 12 && (n_r >> log_p) > (1ull << 16)) ++log_p;
+  const uint32_t P = 1u << log_p;
+  const uint32_t pmask = P - 1;
+
+  // Histogram both sides by pid = key & pmask (identity hash, like the
+  // reference's hasht), then scatter packed (key, payload) uint64 rows into
+  // partition-contiguous buffers.
+  std::vector<uint64_t> roff(P + 1, 0), soff(P + 1, 0);
+  for (uint64_t i = 0; i < n_r; ++i) roff[((uint32_t)rk[i] & pmask) + 1]++;
+  for (uint64_t i = 0; i < n_s; ++i) soff[((uint32_t)sk[i] & pmask) + 1]++;
+  for (uint32_t p = 0; p < P; ++p) {
+    roff[p + 1] += roff[p];
+    soff[p + 1] += soff[p];
+  }
+  std::vector<uint64_t> rrows(n_r), srows(n_s);
+  {
+    std::vector<uint64_t> cur(roff.begin(), roff.end() - 1);
+    for (uint64_t i = 0; i < n_r; ++i) {
+      uint32_t p = (uint32_t)rk[i] & pmask;
+      rrows[cur[p]++] = ((uint64_t)(uint32_t)rk[i] << 32) | (uint32_t)rp[i];
+    }
+    cur.assign(soff.begin(), soff.end() - 1);
+    for (uint64_t i = 0; i < n_s; ++i) {
+      uint32_t p = (uint32_t)sk[i] & pmask;
+      srows[cur[p]++] = ((uint64_t)(uint32_t)sk[i] << 32) | (uint32_t)sp[i];
+    }
+  }
+
+  // Per-partition chained hash table over R, probed by S. Buffers sized to
+  // the largest partition and reused.
+  uint64_t max_r = 0;
+  for (uint32_t p = 0; p < P; ++p)
+    max_r = std::max(max_r, roff[p + 1] - roff[p]);
+  uint64_t hsize = 1;
+  while (hsize < 2 * max_r) hsize <<= 1;
+  std::vector<int64_t> heads(hsize);
+  std::vector<int64_t> next(max_r);
+
+  uint32_t total = 0;
+  for (uint32_t p = 0; p < P; ++p) {
+    const uint64_t r_lo = roff[p], r_hi = roff[p + 1];
+    const uint64_t s_lo = soff[p], s_hi = soff[p + 1];
+    const uint64_t cnt_r = r_hi - r_lo;
+    if (cnt_r == 0 || s_hi == s_lo) continue;
+    uint64_t h = 1;
+    while (h < 2 * cnt_r) h <<= 1;
+    const uint32_t hmask = (uint32_t)(h - 1);
+    std::fill(heads.begin(), heads.begin() + h, (int64_t)-1);
+    for (uint64_t i = 0; i < cnt_r; ++i) {
+      uint32_t key = (uint32_t)(rrows[r_lo + i] >> 32);
+      uint32_t slot = (key * 0x9E3779B1u) & hmask;  // Fibonacci hash
+      next[i] = heads[slot];
+      heads[slot] = (int64_t)i;
+    }
+    for (uint64_t j = s_lo; j < s_hi; ++j) {
+      uint32_t key = (uint32_t)(srows[j] >> 32);
+      uint32_t pay = (uint32_t)srows[j];
+      uint32_t slot = (key * 0x9E3779B1u) & hmask;
+      for (int64_t pos = heads[slot]; pos >= 0; pos = next[pos]) {
+        uint64_t row = rrows[r_lo + (uint64_t)pos];
+        if ((uint32_t)(row >> 32) == key) total += (uint32_t)row * pay;
+      }
+    }
+  }
+  return (int32_t)total;
+}
+
 }  // extern "C"

@@ -100,3 +100,28 @@ def test_host_partition_bandwidth_report(lib):
     mbps = 16 * n / dt / 1e6
     print(f"\nhost_partition: {mbps:.0f} MB/s ({n/dt/1e6:.0f} Mrows/s)")
     assert mbps > 100  # sanity floor only
+
+
+@pytest.mark.parametrize("n_r,n_s,dom", [
+    (5000, 8000, 300),     # many duplicate keys both sides
+    (4096, 4096, 10**6),   # sparse domain, few matches
+    (1, 1, 1),             # degenerate
+    (3000, 1, 100),
+])
+def test_native_oracle_join_aggregate_matches_numpy(lib, n_r, n_s, dom):
+    rng = np.random.RandomState(n_r + n_s)
+    rk = rng.randint(-dom, dom, n_r).astype(np.int32)
+    sk = rng.randint(-dom, dom, n_s).astype(np.int32)
+    # full-range payloads: exercises the mod-2^32 wraparound semantics
+    rp = rng.randint(-(1 << 31), 1 << 31, n_r).astype(np.int32)
+    sp = rng.randint(-(1 << 31), 1 << 31, n_s).astype(np.int32)
+    got = lib.oracle_join_aggregate(rk, rp, sk, sp)
+    want = oracle.join_aggregate(rk, rp, sk, sp)
+    assert got == want
+
+
+def test_native_oracle_join_aggregate_empty(lib):
+    e = np.empty(0, np.int32)
+    k = np.arange(10, dtype=np.int32)
+    assert lib.oracle_join_aggregate(e, e, k, k) == 0
+    assert lib.oracle_join_aggregate(k, k, e, e) == 0
