@@ -4,7 +4,8 @@ Reads every benchmarks/out_r3/*.jsonl captured by r3_device_run.sh (and
 any scale-run captures added later), keeps the JSON lines, and writes
 them to CONFIGS_r03.json at the repo root keyed by source file.
 
-Usage: python benchmarks/collect_r3.py [outdir]
+Usage: python benchmarks/collect_r3.py [outdir] [dest_name]
+(dest_name defaults to CONFIGS_r03.json; round-4 runs pass CONFIGS_r04.json)
 """
 
 import glob
@@ -15,6 +16,7 @@ import sys
 root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 outdir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
     root, "benchmarks", "out_r3")
+dest_name = sys.argv[2] if len(sys.argv) > 2 else "CONFIGS_r03.json"
 
 collected = {}
 for path in sorted(glob.glob(os.path.join(outdir, "*.jsonl"))):
@@ -31,7 +33,7 @@ for path in sorted(glob.glob(os.path.join(outdir, "*.jsonl"))):
     if lines:
         collected[os.path.basename(path)] = lines
 
-dest = os.path.join(root, "CONFIGS_r03.json")
+dest = os.path.join(root, dest_name)
 with open(dest, "w") as f:
     json.dump(collected, f, indent=1)
 print(f"wrote {dest}: {sum(len(v) for v in collected.values())} records "

@@ -52,4 +52,9 @@ log "bench.py zipf 1.05"
 BENCH_SKEW=1.05 timeout 2400 python bench.py \
   2>&1 | tee "$OUT/bench_zipf.jsonl"
 
-log "DONE — decide sort default from $OUT/bench_*.jsonl, then scale runs"
+log "decision legs done — chaining into the round-4 scale ladder"
+
+# --- 6. round-4 chain: scale ladder + collection + tables -------------------
+bash benchmarks/r4_post_run.sh
+
+log "DONE — decide sort default from $OUT/bench_*.jsonl + CONFIGS_r04.json"
