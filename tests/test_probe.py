@@ -122,3 +122,48 @@ def test_global_ht_baseline(rng):
         jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
         log_buckets=8))
     assert got == oracle.join_aggregate(rk, rp, sk, sp)
+
+
+def test_global_ht_no_overflow_and_negative_keys(rng):
+    """Unique build keys at load factor <=0.5: pure gather-probe path (no
+    fallback), including negative int32 keys."""
+    from icde2019_gpu_join_tpu.ops.perfect_hash import global_ht_join_aggregate
+
+    rk = (rng.permutation(1 << 15)[:10_000].astype(np.int32) - (1 << 14))
+    sk = rk[rng.randint(0, rk.size, 25_000)].astype(np.int32)
+    rp = rng.randint(-50, 50, rk.size).astype(np.int32)
+    sp = rng.randint(-50, 50, sk.size).astype(np.int32)
+    got = int(global_ht_join_aggregate(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp)))
+    assert got == oracle.join_aggregate(rk, rp, sk, sp)
+
+
+def test_global_ht_single_dominant_key(rng):
+    """Adversarial: every build row shares one key -> one bucket chain of
+    length n >> chain_cap; the overflow fallback must keep it bit-exact."""
+    from icde2019_gpu_join_tpu.ops.perfect_hash import global_ht_join_aggregate
+
+    rk = np.full(5_000, 42, np.int32)
+    sk = np.where(rng.rand(8_000) < 0.5, 42, 7).astype(np.int32)
+    rp = rng.randint(-50, 50, rk.size).astype(np.int32)
+    sp = rng.randint(-50, 50, sk.size).astype(np.int32)
+    got = int(global_ht_join_aggregate(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp)))
+    assert got == oracle.join_aggregate(rk, rp, sk, sp)
+
+
+def test_global_ht_jittable(rng):
+    """The whole baseline (build + gather probe + cond fallback) is one
+    jittable function."""
+    import jax
+
+    from icde2019_gpu_join_tpu.ops.perfect_hash import global_ht_join_aggregate
+
+    rk = rng.randint(0, 1 << 12, 4_096).astype(np.int32)
+    sk = rng.randint(0, 1 << 12, 8_192).astype(np.int32)
+    rp = np.ones(rk.size, np.int32)
+    sp = np.ones(sk.size, np.int32)
+    fn = jax.jit(lambda a, b, c, d: global_ht_join_aggregate(a, b, c, d))
+    got = int(fn(jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk),
+                 jnp.asarray(sp)))
+    assert got == oracle.join_aggregate(rk, rp, sk, sp)
