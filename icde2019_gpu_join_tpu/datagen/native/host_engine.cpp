@@ -451,19 +451,25 @@ int32_t tj_oracle_join_aggregate(const int32_t* rk, const int32_t* rp,
     const uint64_t cnt_r = r_hi - r_lo;
     if (cnt_r == 0 || s_hi == s_lo) continue;
     uint64_t h = 1;
-    while (h < 2 * cnt_r) h <<= 1;
-    const uint32_t hmask = (uint32_t)(h - 1);
+    int log2h = 0;
+    while (h < 2 * cnt_r) { h <<= 1; ++log2h; }
+    // Fibonacci hash MUST take the TOP bits of the product: keys within a
+    // partition share their low log_p bits, so the product's low bits are
+    // constant across the partition and masking them would collapse the
+    // table to h >> log_p effective slots (measured: 2^27 rows degraded
+    // to ~2048-long chains and a >1000x probe blowup).
+    const uint32_t hshift = (uint32_t)(32 - log2h);
     std::fill(heads.begin(), heads.begin() + h, (int64_t)-1);
     for (uint64_t i = 0; i < cnt_r; ++i) {
       uint32_t key = (uint32_t)(rrows[r_lo + i] >> 32);
-      uint32_t slot = (key * 0x9E3779B1u) & hmask;  // Fibonacci hash
+      uint32_t slot = (key * 0x9E3779B1u) >> hshift;
       next[i] = heads[slot];
       heads[slot] = (int64_t)i;
     }
     for (uint64_t j = s_lo; j < s_hi; ++j) {
       uint32_t key = (uint32_t)(srows[j] >> 32);
       uint32_t pay = (uint32_t)srows[j];
-      uint32_t slot = (key * 0x9E3779B1u) & hmask;
+      uint32_t slot = (key * 0x9E3779B1u) >> hshift;
       for (int64_t pos = heads[slot]; pos >= 0; pos = next[pos]) {
         uint64_t row = rrows[r_lo + (uint64_t)pos];
         if ((uint32_t)(row >> 32) == key) total += (uint32_t)row * pay;
