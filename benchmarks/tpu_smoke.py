@@ -250,6 +250,21 @@ def main():
 
     check("config5 small (streaming segments)", _config5)
 
+    def _global_ht():
+        from icde2019_gpu_join_tpu.ops.perfect_hash import (
+            global_ht_join_aggregate)
+        g = np.random.default_rng(11)
+        rk_ = g.permutation(1 << 14).astype(np.int32)
+        sk_ = rk_[g.integers(0, 1 << 14, 1 << 16)].astype(np.int32)
+        rp_ = g.integers(-50, 50, rk_.size).astype(np.int32)
+        sp_ = g.integers(-50, 50, sk_.size).astype(np.int32)
+        got = int(global_ht_join_aggregate(
+            jnp.asarray(rk_), jnp.asarray(rp_), jnp.asarray(sk_),
+            jnp.asarray(sp_)))
+        assert got == oracle.join_aggregate(rk_, rp_, sk_, sp_)
+
+    check("global chained-HT baseline (gather probe)", _global_ht)
+
     print("TPU SMOKE: ALL GREEN", flush=True)
 
 
