@@ -90,3 +90,45 @@ def test_engine_fuzz_materialize_multiset():
     got = got[np.lexsort((got[:, 1], got[:, 0]))]
     assert got.shape == expect_pairs.shape
     assert np.array_equal(got, expect_pairs)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_streaming_fuzz_vs_host_oracle(seed):
+    """Streaming regime under adversarial inputs: segment size not dividing
+    n_s, dup-heavy / negative keys, full-range payloads."""
+    from icde2019_gpu_join_tpu.config import EngineConfig
+    from icde2019_gpu_join_tpu.models.streaming import streaming_join_aggregate
+
+    rng = np.random.default_rng(2000 + seed)
+    n_r, n_s = 6_000, 19_001  # n_s prime-ish: last segment ragged
+    kinds = [("unique", "dupes"), ("dupes", "dupes"),
+             ("negative", "negative"), ("unique", "one_key")]
+    rkind, skind = kinds[seed]
+    rk = _keys(rng, rkind, n_r, 30_000)
+    sk = _keys(rng, skind, n_s, 30_000)
+    rp = rng.integers(-2**31, 2**31, n_r).astype(np.int64).astype(np.int32)
+    sp = rng.integers(-2**31, 2**31, n_s).astype(np.int64).astype(np.int32)
+
+    res = streaming_join_aggregate(
+        Relation(rk, rp), Relation(sk, sp),
+        EngineConfig(segment_rows=4_096))
+    assert res.aggregate == _expect(rk, rp, sk, sp), (seed, rkind, skind)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_coprocess_fuzz_vs_host_oracle(seed):
+    """Coprocess regime (host pre-partition + knapsack batches + staged
+    device refine) under dup-heavy and negative keys."""
+    from icde2019_gpu_join_tpu.models.coprocess import coprocess_join_aggregate
+
+    rng = np.random.default_rng(3000 + seed)
+    n_r, n_s = 9_000, 13_000
+    kinds = [("dupes", "dupes"), ("negative", "unique"), ("unique", "dupes")]
+    rkind, skind = kinds[seed]
+    rk = _keys(rng, rkind, n_r, 25_000)
+    sk = _keys(rng, skind, n_s, 25_000)
+    rp = rng.integers(-2**31, 2**31, n_r).astype(np.int64).astype(np.int32)
+    sp = rng.integers(-2**31, 2**31, n_s).astype(np.int64).astype(np.int32)
+
+    res = coprocess_join_aggregate(Relation(rk, rp), Relation(sk, sp))
+    assert res.aggregate == _expect(rk, rp, sk, sp), (seed, rkind, skind)
