@@ -397,3 +397,47 @@ def test_distributed_materialize_truncates(rng):
     assert pairs.shape[0] > 0
     for pr, ps in pairs.tolist():
         assert (pr, ps) in expect_set
+
+
+@needs_8
+@pytest.mark.parametrize("seed", range(5))
+def test_distributed_segmented_fuzz_vs_host_oracle(seed):
+    """Randomized sweep of the DEFAULT distributed pipeline (segmented,
+    exact caps, PRPD heavy-split auto-detection) against the independent
+    C++ host oracle: dup-heavy / negative / skew-concentrated keys and
+    full-range payloads (mod-2^32 wraparound through the exchange)."""
+    from icde2019_gpu_join_tpu import datagen
+    from icde2019_gpu_join_tpu.parallel.dist_join import (
+        distributed_join_segmented)
+
+    g = np.random.default_rng(4000 + seed)
+    n_r, n_s = 4096, 16384  # fixed shapes: one compile across the sweep
+    if seed == 0:    # dup-heavy both sides
+        rk = g.integers(0, 500, n_r).astype(np.int32)
+        sk = g.integers(0, 500, n_s).astype(np.int32)
+    elif seed == 1:  # negative keys
+        rk = g.integers(-30_000, 30_000, n_r).astype(np.int32)
+        sk = g.integers(-30_000, 30_000, n_s).astype(np.int32)
+    elif seed == 2:  # 30% of S on one key (heavy-split territory)
+        rk = g.permutation(n_r).astype(np.int32)
+        sk = np.where(g.random(n_s) < 0.3, rk[3],
+                      rk[g.integers(0, n_r, n_s)]).astype(np.int32)
+    elif seed == 3:  # disjoint domains: zero matches
+        rk = g.integers(0, 10_000, n_r).astype(np.int32)
+        sk = g.integers(20_000, 30_000, n_s).astype(np.int32)
+    else:            # int32 extremes
+        pool = np.array([-2**31, -1, 0, 1, 2**31 - 1], np.int32)
+        rk = pool[g.integers(0, pool.size, n_r)]
+        sk = pool[g.integers(0, pool.size, n_s)]
+    rp = g.integers(-2**31, 2**31, n_r).astype(np.int64).astype(np.int32)
+    sp = g.integers(-2**31, 2**31, n_s).astype(np.int64).astype(np.int32)
+
+    mesh = make_mesh(8)
+    agg, overflow = distributed_join_segmented(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        mesh=mesh, num_segments=4)
+    expect = datagen.oracle_join_aggregate(rk, rp, sk, sp)
+    if expect is None:
+        expect = oracle.join_aggregate(rk, rp, sk, sp)
+    assert int(overflow) == 0
+    assert int(agg) == expect, f"seed={seed}"
