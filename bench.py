@@ -39,29 +39,30 @@ import numpy as np
 
 def _oracle_expect_cached(rk, rp, sk, sp, scale, skew, seed=12345):
     """Host-oracle SUM(Pr*Ps), cached under data/ keyed by the dataset
-    config (datasets are deterministic in (scale, skew, seed))."""
+    config (datasets are deterministic in (scale, skew, seed)) AND the
+    generator that produced them: the numpy datagen fallback matches the
+    native generator's distributions but is NOT bit-identical, so its
+    datasets have different true aggregates — a cache entry from one
+    generator must never gate data from the other."""
     import json as _json
 
-    from icde2019_gpu_join_tpu.utils import oracle
+    from icde2019_gpu_join_tpu import datagen
 
+    gen = "native" if datagen.native_lib() is not None else "numpy"
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "data")
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(
-        cache_dir, f"oracle_agg_pkfk_s{scale}_z{skew}_seed{seed}.json")
+        cache_dir,
+        f"oracle_agg_pkfk_s{scale}_z{skew}_seed{seed}_g{gen}.json")
     if os.path.exists(path):
         with open(path) as f:
             return int(_json.load(f)["aggregate"])
-    from icde2019_gpu_join_tpu import datagen
-    agg = datagen.oracle_join_aggregate(rk, rp, sk, sp)
-    which = "datagen C++ oracle (tj_oracle_join_aggregate)"
-    if agg is None:  # native lib unavailable: numpy fallback (slow)
-        agg = int(oracle.join_aggregate(rk, rp, sk, sp))
-        which = "utils.oracle.join_aggregate (host numpy)"
+    agg = datagen.host_oracle_aggregate(rk, rp, sk, sp)
     with open(path, "w") as f:
         _json.dump({"aggregate": agg, "n_r": int(rk.size),
                     "n_s": int(sk.size), "skew": skew, "seed": seed,
-                    "oracle": which}, f)
+                    "generator": gen}, f)
     return agg
 
 

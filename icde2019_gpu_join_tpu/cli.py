@@ -112,12 +112,9 @@ def main(argv=None):
         # — hash_join_clustered_probe.cu:2025-2059; here -b 8 actually runs):
         # native C++ partitioned hash join, numpy oracle as fallback.
         from icde2019_gpu_join_tpu import datagen
-        from icde2019_gpu_join_tpu.utils import oracle
 
         t0 = time.perf_counter()
-        agg = datagen.oracle_join_aggregate(rk, rp, sk, sp)
-        if agg is None:
-            agg = oracle.join_aggregate(rk, rp, sk, sp)
+        agg = datagen.host_oracle_aggregate(rk, rp, sk, sp)
         dt = time.perf_counter() - t0
         print(f"{agg} results")
         print(f"CPU join total throughput is {2*(n_r+n_s)*4/dt/1e6:.2f} MB/s")

@@ -47,14 +47,52 @@ def _build_native() -> bool:
             return False
 
 
+def _so_is_stale() -> bool:
+    """A .so older than the source predates the current symbol set (the
+    .so is gitignored, so checkouts updated in place keep the old build);
+    rebuild rather than AttributeError on a missing symbol."""
+    src = os.path.join(_NATIVE_DIR, "host_engine.cpp")
+    try:
+        return os.path.getmtime(_SO_PATH) < os.path.getmtime(src)
+    except OSError:
+        return True
+
+
 def native_lib() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native host library; None if unavailable."""
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH) and not _build_native():
-        return None
-    lib = ctypes.CDLL(_SO_PATH)
+    if not os.path.exists(_SO_PATH) or _so_is_stale():
+        if os.path.exists(_SO_PATH) and _so_is_stale():
+            try:
+                os.remove(_SO_PATH)
+            except OSError:
+                pass
+        if not _build_native():
+            return None
+    try:
+        lib = _bind(ctypes.CDLL(_SO_PATH))
+    except (OSError, AttributeError):
+        # e.g. a symbol missing from a foreign/partial build: one rebuild
+        # attempt, else the documented None (callers fall back to numpy)
+        try:
+            os.remove(_SO_PATH)
+        except OSError:
+            return None
+        global _build_attempted
+        _build_attempted = False
+        if not _build_native():
+            return None
+        try:
+            lib = _bind(ctypes.CDLL(_SO_PATH))
+        except (OSError, AttributeError):
+            return None
+    _lib = lib
+    return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     i32p = ctypes.POINTER(ctypes.c_int32)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     lib.tj_seed.argtypes = [ctypes.c_uint]
@@ -79,8 +117,7 @@ def native_lib() -> Optional[ctypes.CDLL]:
         i32p, i32p, ctypes.c_uint64, i32p, i32p, ctypes.c_uint64,
     ]
     lib.tj_oracle_join_aggregate.restype = ctypes.c_int32
-    _lib = lib
-    return _lib
+    return lib
 
 
 def _i32p(a: np.ndarray):
@@ -207,6 +244,21 @@ def oracle_join_aggregate(
     return int(lib.tj_oracle_join_aggregate(
         _i32p(rk), _i32p(rp), rk.shape[0], _i32p(sk), _i32p(sp),
         sk.shape[0]))
+
+
+def host_oracle_aggregate(
+    r_keys: np.ndarray, r_pay: np.ndarray,
+    s_keys: np.ndarray, s_pay: np.ndarray,
+) -> int:
+    """The host oracle with fallback policy in ONE place: the native C++
+    oracle when available, the (slow) numpy oracle otherwise. Every
+    engine-independent correctness gate (bench.py, CLI -b 8, fuzz suites)
+    goes through here."""
+    got = oracle_join_aggregate(r_keys, r_pay, s_keys, s_pay)
+    if got is None:
+        from icde2019_gpu_join_tpu.utils import oracle
+        got = int(oracle.join_aggregate(r_keys, r_pay, s_keys, s_pay))
+    return got
 
 
 def staging_copy(dst: np.ndarray, src: np.ndarray, num_threads: int = 0):

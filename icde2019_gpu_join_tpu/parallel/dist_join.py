@@ -239,6 +239,12 @@ def distributed_join_segmented(
     if split_heavy is not False and slack is None and nd > 1:
         probe_fine = split_heavy is True
         if not probe_fine:
+            # One extra [nd, nd] histogram stream over S per call. It can't
+            # be folded into the exact-caps pre-pass for the default
+            # grouped method: plan_cap_grouped counts laid-out BLOCKS (its
+            # overflow unit), not per-destination rows, so it cannot answer
+            # the >2x-fair-share question. One planning stream out of ~3,
+            # against a join that streams the data ~10x — accepted cost.
             coarse = xplan.destination_histograms(s_keys, mesh, axis, nd,
                                                   first_bit)
             probe_fine = coarse.sum(axis=0).max() > 2.0 * (n_s / nd)
@@ -472,7 +478,18 @@ def distributed_join_materialize(
     wrap=True excess matches wrap the per-chip ring, the FOLD semantics of
     src/join-primitives.cu:1371-1373; wrap=False truncates). Global match
     count = totals.sum(). Caps come from the exact histogram pre-pass, so
-    exchange overflow is 0 by construction."""
+    exchange overflow is 0 by construction.
+
+    Enforces the key-domain contract (keys >= 0) loudly: materialization
+    pads received frames at keys -1/-2, so a negative REAL key would
+    silently emit phantom pairs — unlike the aggregate paths, where pad
+    collisions contribute payload-0 terms. One jnp.min per side, noise
+    next to the exact-caps pre-pass this wrapper already runs."""
+    if int(jnp.min(r_keys)) < 0 or int(jnp.min(s_keys)) < 0:
+        raise ValueError(
+            "distributed_join_materialize: negative keys violate the "
+            "engine key-domain contract (keys >= 0; -1/-2 are reserved "
+            "pad sentinels) — see PARITY.md deviations")
     nd = mesh.shape[axis]
     caps = _exact_caps(r_keys, s_keys, mesh, axis, nd, first_bit,
                        "sort", 0)

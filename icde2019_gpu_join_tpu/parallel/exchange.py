@@ -182,26 +182,27 @@ def partition_to_buckets_grouped(
     assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be 2^k"
     if num_buckets == 1:
         # Degenerate mesh (1 device): pass-through into a single frame, no
-        # grouping needed. Mirrors the general path's frame geometry
-        # (F = (cap // _BLK) blocks) and its kb != _SENT liveness check.
+        # grouping needed. Liveness is POSITIONAL (rows are an untouched
+        # prefix), never a key-vs-sentinel compare: a real key of
+        # 0x7FFFFFFF is in the engine key domain (keys >= 0) and must not
+        # be mistaken for padding (round-4 review finding).
         F = (cap // _BLK) * _BLK
         n = keys.shape[0]
         if n < F:
-            keys = jnp.concatenate([keys, jnp.full((F - n,), _SENT, jnp.int32)])
+            keys = jnp.concatenate([keys, jnp.zeros((F - n,), jnp.int32)])
             pays = jnp.concatenate([pays, jnp.zeros((F - n,), jnp.int32)])
         k = keys[:F]
         p = pays[:F]
         idx = jnp.arange(F, dtype=jnp.int32)
-        live = k != _SENT
+        live = idx < n
         out_k = jnp.where(live, k, _spread_pad_keys(idx))
         out_p = jnp.where(live, p, 0)
-        dropped = (jnp.sum((keys[F:] != _SENT).astype(jnp.int32))
-                   if n > F else jnp.int32(0))
+        dropped = jnp.int32(max(n - F, 0))
         return BucketFrames(
             out_k[None, :], out_p[None, :],
             jnp.zeros(1, jnp.int32),
-            jnp.sum(live.astype(jnp.int32)).reshape(1),
-            dropped.astype(jnp.int32))
+            jnp.full((1,), min(n, F), jnp.int32),
+            dropped)
     bits = (num_buckets - 1).bit_length()
     # rotation puts destination bits on top; radix_group groups by top bits
     rot = rotate_keys(keys, bits, first_bit)

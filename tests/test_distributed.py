@@ -404,8 +404,9 @@ def test_distributed_materialize_truncates(rng):
 def test_distributed_segmented_fuzz_vs_host_oracle(seed):
     """Randomized sweep of the DEFAULT distributed pipeline (segmented,
     exact caps, PRPD heavy-split auto-detection) against the independent
-    C++ host oracle: dup-heavy / negative / skew-concentrated keys and
-    full-range payloads (mod-2^32 wraparound through the exchange)."""
+    C++ host oracle: dup-heavy / full-domain / skew-concentrated keys and
+    full-range payloads (mod-2^32 wraparound through the exchange). Keys
+    stay within the engine key-domain contract (>= 0; relation.py)."""
     from icde2019_gpu_join_tpu import datagen
     from icde2019_gpu_join_tpu.parallel.dist_join import (
         distributed_join_segmented)
@@ -415,9 +416,9 @@ def test_distributed_segmented_fuzz_vs_host_oracle(seed):
     if seed == 0:    # dup-heavy both sides
         rk = g.integers(0, 500, n_r).astype(np.int32)
         sk = g.integers(0, 500, n_s).astype(np.int32)
-    elif seed == 1:  # negative keys
-        rk = g.integers(-30_000, 30_000, n_r).astype(np.int32)
-        sk = g.integers(-30_000, 30_000, n_s).astype(np.int32)
+    elif seed == 1:  # full non-negative int32 domain
+        rk = g.integers(0, 2**31, n_r).astype(np.int64).astype(np.int32)
+        sk = g.integers(0, 2**31, n_s).astype(np.int64).astype(np.int32)
     elif seed == 2:  # 30% of S on one key (heavy-split territory)
         rk = g.permutation(n_r).astype(np.int32)
         sk = np.where(g.random(n_s) < 0.3, rk[3],
@@ -425,8 +426,9 @@ def test_distributed_segmented_fuzz_vs_host_oracle(seed):
     elif seed == 3:  # disjoint domains: zero matches
         rk = g.integers(0, 10_000, n_r).astype(np.int32)
         sk = g.integers(20_000, 30_000, n_s).astype(np.int32)
-    else:            # int32 extremes
-        pool = np.array([-2**31, -1, 0, 1, 2**31 - 1], np.int32)
+    else:            # key-domain boundaries (incl. INT32_MAX, which the
+        # 1-bucket grouped frame once mistook for padding)
+        pool = np.array([0, 1, 2, 42, 2**31 - 2, 2**31 - 1], np.int32)
         rk = pool[g.integers(0, pool.size, n_r)]
         sk = pool[g.integers(0, pool.size, n_s)]
     rp = g.integers(-2**31, 2**31, n_r).astype(np.int64).astype(np.int32)
@@ -436,8 +438,26 @@ def test_distributed_segmented_fuzz_vs_host_oracle(seed):
     agg, overflow = distributed_join_segmented(
         jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
         mesh=mesh, num_segments=4)
-    expect = datagen.oracle_join_aggregate(rk, rp, sk, sp)
-    if expect is None:
-        expect = oracle.join_aggregate(rk, rp, sk, sp)
+    expect = datagen.host_oracle_aggregate(rk, rp, sk, sp)
     assert int(overflow) == 0
     assert int(agg) == expect, f"seed={seed}"
+
+
+def test_one_device_exchange_int32max_key(rng):
+    """Regression (round-4 review): the 1-bucket grouped frame tested raw
+    keys against the pad sentinel, so a real key of 2^31-1 — non-negative,
+    IN the engine key domain — was treated as padding and its payload
+    zeroed on a 1-device mesh (the config-5 leg-A path), silently
+    diverging from the multi-device result. Liveness is positional now."""
+    n = 256
+    rk = np.arange(n, dtype=np.int32)
+    rk[7] = 2**31 - 1
+    sk = np.full(n, 2**31 - 1, np.int32)
+    mesh = make_mesh(1)
+    for method in ("group", "sort"):
+        agg, ov = distributed_join_aggregate(
+            jnp.asarray(rk), jnp.ones(n, jnp.int32),
+            jnp.asarray(sk), jnp.ones(n, jnp.int32),
+            mesh, method=method)
+        assert int(ov) == 0
+        assert int(agg) == n, method

@@ -19,28 +19,27 @@ from icde2019_gpu_join_tpu.utils import oracle
 
 
 def _expect(rk, rp, sk, sp):
-    got = datagen.oracle_join_aggregate(rk, rp, sk, sp)
-    if got is None:  # native lib unavailable
-        got = oracle.join_aggregate(rk, rp, sk, sp)
-    return got
+    return datagen.host_oracle_aggregate(rk, rp, sk, sp)
 
 
 def _keys(rng, kind, n, dom):
+    """Key generators WITHIN the engine key-domain contract (keys >= 0;
+    -1/-2 are reserved sentinels — relation.py, PARITY.md deviation)."""
     if kind == "unique":
         return rng.permutation(max(n, dom + 1))[:n].astype(np.int32)
     if kind == "dupes":
         return rng.integers(0, max(dom // 16, 1), n).astype(np.int32)
-    if kind == "negative":
-        return rng.integers(-dom, dom, n).astype(np.int32)
+    if kind == "full31":  # the whole non-negative int32 range
+        return rng.integers(0, 2**31, n).astype(np.int64).astype(np.int32)
     if kind == "one_key":
         return np.full(n, 42, np.int32)
-    if kind == "extremes":
-        pool = np.array([-2**31, -1, 0, 1, 2**31 - 1, 42], np.int32)
+    if kind == "extremes":  # domain boundaries incl. INT32_MAX
+        pool = np.array([0, 1, 2, 42, 2**31 - 2, 2**31 - 1], np.int32)
         return pool[rng.integers(0, pool.size, n)]
     raise AssertionError(kind)
 
 
-_KINDS = ["unique", "dupes", "negative", "one_key", "extremes"]
+_KINDS = ["unique", "dupes", "full31", "one_key", "extremes"]
 
 
 @pytest.mark.parametrize("seed", range(12))
@@ -95,14 +94,14 @@ def test_engine_fuzz_materialize_multiset():
 @pytest.mark.parametrize("seed", range(4))
 def test_streaming_fuzz_vs_host_oracle(seed):
     """Streaming regime under adversarial inputs: segment size not dividing
-    n_s, dup-heavy / negative keys, full-range payloads."""
+    n_s, dup-heavy / full-domain keys, full-range payloads."""
     from icde2019_gpu_join_tpu.config import EngineConfig
     from icde2019_gpu_join_tpu.models.streaming import streaming_join_aggregate
 
     rng = np.random.default_rng(2000 + seed)
     n_r, n_s = 6_000, 19_001  # n_s prime-ish: last segment ragged
     kinds = [("unique", "dupes"), ("dupes", "dupes"),
-             ("negative", "negative"), ("unique", "one_key")]
+             ("full31", "full31"), ("unique", "one_key")]
     rkind, skind = kinds[seed]
     rk = _keys(rng, rkind, n_r, 30_000)
     sk = _keys(rng, skind, n_s, 30_000)
@@ -118,12 +117,12 @@ def test_streaming_fuzz_vs_host_oracle(seed):
 @pytest.mark.parametrize("seed", range(3))
 def test_coprocess_fuzz_vs_host_oracle(seed):
     """Coprocess regime (host pre-partition + knapsack batches + staged
-    device refine) under dup-heavy and negative keys."""
+    device refine) under dup-heavy and full-domain keys."""
     from icde2019_gpu_join_tpu.models.coprocess import coprocess_join_aggregate
 
     rng = np.random.default_rng(3000 + seed)
     n_r, n_s = 9_000, 13_000
-    kinds = [("dupes", "dupes"), ("negative", "unique"), ("unique", "dupes")]
+    kinds = [("dupes", "dupes"), ("full31", "unique"), ("unique", "dupes")]
     rkind, skind = kinds[seed]
     rk = _keys(rng, rkind, n_r, 25_000)
     sk = _keys(rng, skind, n_s, 25_000)
