@@ -85,6 +85,21 @@ def config2(scale):
     _report(2, f"uniform_{n>>20}Mx{n>>20}M_payload", 2 * n, dt,
             res.aggregate == expect)
 
+    # Materializing leg: the reference's Join1 measures BOTH probes —
+    # materializing (join_partitioned_results into the 2^24-slot FOLD
+    # ring, src/hash_join_clustered_probe.cu:913-916,937-940) and
+    # count-only. Mirror it: same inputs, same 2^24 ring, wrap semantics.
+    cap = 1 << 24
+    resm = eng.materialize(r, s, capacity=cap)  # warm-up/compile
+    t0 = time.perf_counter()
+    resm = eng.materialize(r, s, capacity=cap)
+    dt = time.perf_counter() - t0
+    # correctness: total matches == aggregate (payloads are 1) and the
+    # ring holds only payload-1 pairs in its live region
+    ok = (resm.count % (1 << 32)) == (expect % (1 << 32))
+    _report(2, f"materialize_{n>>20}Mx{n>>20}M_fold24", 2 * n, dt, ok,
+            {"ring_slots": cap, "matches_mod32": int(resm.count)})
+
 
 def config3(scale):
     """Filter -> probe -> group-by count/sum, fused (512M probe rows)."""

@@ -541,30 +541,40 @@ def _extract_blocked(h, fm, off, s_p, r_p, capacity: int, total, s_lo,
     ones_w = jnp.ones_like(off_w)
 
     pos = block_starts[:, None] + jnp.arange(_BLK, dtype=jnp.int32)[None, :]
+
+    # Chunk BOTH select implementations over slot-block rows via lax.map:
+    # the whole-capacity window arrays exceed VMEM in one Pallas call
+    # (observed: 131072x384 = 201MB), and the one-shot XLA variant's
+    # [Cb, 128, w*128] compare tensor blew up COMPILE time superlinearly
+    # in capacity (measured on CPU: 4.5s at ring 2^18 -> 453s at 2^20;
+    # the reference's FOLD ring is 2^24). Per-chunk shapes make compile
+    # capacity-independent for both.
+    CH = min(512, Cb)
+    padc = -Cb % CH
+
+    def chunked(f, *arrs):
+        ar = [jnp.pad(a, ((0, padc), (0, 0)),
+                      constant_values=(-1 if i == 0 else 0))
+              for i, a in enumerate(arrs)]
+        ar = [a.reshape(-1, CH, a.shape[1]) for a in ar]
+        outs = jax.lax.map(lambda t: f(*t), tuple(ar))
+        return [o.reshape(-1, o.shape[-1])[:Cb] for o in outs]
+
     if pallas:
         from icde2019_gpu_join_tpu.ops.band_compare_pallas import (
-            banded_interval_select)
-
-        # chunk the kernel over slot-block rows: the whole-capacity window
-        # arrays exceed VMEM in one call (observed: 131072x384 = 201MB)
-        CH = min(512, Cb)
-        padc = -Cb % CH
-        def chunked(f, *arrs, nout):
-            ar = [jnp.pad(a, ((0, padc), (0, 0)),
-                          constant_values=(-1 if i == 0 else 0))
-                  for i, a in enumerate(arrs)]
-            ar = [a.reshape(-1, CH, a.shape[1]) for a in ar]
-            outs = jax.lax.map(lambda t: f(*t), tuple(ar))
-            return [o.reshape(-1, o.shape[-1])[:Cb] for o in outs]
-        sp_sel, fmoff_sel, valid = chunked(
-            banded_interval_select, pos, off_w, hi_w, sp_w, fmoff_w, ones_w,
-            nout=3)
+            banded_interval_select as _interval_select)
     else:
-        inb = (off_w[:, None, :] <= pos[:, :, None]) & (
-            pos[:, :, None] < hi_w[:, None, :])
-        sp_sel = jnp.sum(jnp.where(inb, sp_w[:, None, :], 0), axis=2)
-        fmoff_sel = jnp.sum(jnp.where(inb, fmoff_w[:, None, :], 0), axis=2)
-        valid = jnp.sum(inb.astype(jnp.int32), axis=2)
+        def _interval_select(pos_c, off_c, hi_c, sp_c, fmoff_c, ones_c):
+            inb = (off_c[:, None, :] <= pos_c[:, :, None]) & (
+                pos_c[:, :, None] < hi_c[:, None, :])
+            sp_sel = jnp.sum(jnp.where(inb, sp_c[:, None, :], 0), axis=2)
+            fmoff_sel = jnp.sum(
+                jnp.where(inb, fmoff_c[:, None, :], 0), axis=2)
+            valid = jnp.sum(inb.astype(jnp.int32), axis=2)
+            return sp_sel, fmoff_sel, valid
+
+    sp_sel, fmoff_sel, valid = chunked(
+        _interval_select, pos, off_w, hi_w, sp_w, fmoff_w, ones_w)
 
     r_pos = fmoff_sel + pos                        # garbage where invalid
 
@@ -585,12 +595,14 @@ def _extract_blocked(h, fm, off, s_p, r_p, capacity: int, total, s_lo,
 
     if pallas:
         from icde2019_gpu_join_tpu.ops.band_compare_pallas import (
-            banded_compare_per_s)
-        _, r_sel = chunked(banded_compare_per_s, r_pos, ridx_w, rp_w,
-                           nout=2)
+            banded_compare_per_s as _compare_per_s)
     else:
-        eq = r_pos[:, :, None] == ridx_w[:, None, :]
-        r_sel = jnp.sum(jnp.where(eq, rp_w[:, None, :], 0), axis=2)
+        def _compare_per_s(rpos_c, ridx_c, rp_c):
+            eq = rpos_c[:, :, None] == ridx_c[:, None, :]
+            r_sel = jnp.sum(jnp.where(eq, rp_c[:, None, :], 0), axis=2)
+            return r_sel, r_sel
+
+    _, r_sel = chunked(_compare_per_s, r_pos, ridx_w, rp_w)
 
     live = (valid > 0) & (pos < total)
     out_r = jnp.where(live, r_sel, 0).reshape(-1)
