@@ -131,3 +131,26 @@ def test_coprocess_fuzz_vs_host_oracle(seed):
 
     res = coprocess_join_aggregate(Relation(rk, rp), Relation(sk, sp))
     assert res.aggregate == _expect(rk, rp, sk, sp), (seed, rkind, skind)
+
+
+def test_packed_sort_impl_end_to_end():
+    """The packed (1-operand uint64) sort impl — one of the two device
+    challengers to lax.sort — drives the full banded pipeline bit-exactly
+    against the C++ oracle (the merge cascade has its own interpret-mode
+    suite, tests/test_merge_pallas.py)."""
+    from icde2019_gpu_join_tpu.ops import band_join as bj
+
+    rng = np.random.default_rng(55)
+    n_r, n_s = 12_201, 24_575
+    rk = _keys(rng, "dupes", n_r, 40_000)
+    sk = _keys(rng, "extremes", n_s, 40_000)
+    rp = rng.integers(-2**31, 2**31, n_r).astype(np.int64).astype(np.int32)
+    sp = rng.integers(-2**31, 2**31, n_s).astype(np.int64).astype(np.int32)
+    bj.set_sort_impl("packed")
+    try:
+        res = ClusteredJoin().aggregate(
+            Relation(jnp.asarray(rk), jnp.asarray(rp)),
+            Relation(jnp.asarray(sk), jnp.asarray(sp)))
+    finally:
+        bj.set_sort_impl("lax")
+    assert res.aggregate == _expect(rk, rp, sk, sp)
