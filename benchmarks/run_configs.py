@@ -36,6 +36,53 @@ def _report(config, metric, rows, seconds, correct, extra=None):
     print(json.dumps(out), flush=True)
 
 
+def _cache_path(tag):
+    from icde2019_gpu_join_tpu import datagen
+    gen = "native" if datagen.native_lib() is not None else "numpy"
+    d = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"oracle_{tag}_g{gen}.json")
+
+
+def _oracle_agg_cached(tag, rk, sk):
+    """Cached host-oracle SUM(1*1) (= match count mod 2^32) for the
+    ones-payload configs. The datasets behind a tag are deterministic in
+    (sizes, skew, seed, generator), so the expected value is computed once
+    (C++ oracle, numpy fallback) and reused — the big-scale numpy gates
+    (sort + searchsorted at 2^30/2^31) burned ~25-40 min of device-window
+    wall time per run for a tunnel-independent number."""
+    path = _cache_path(tag)
+    if os.path.exists(path):
+        with open(path) as f:
+            return int(json.load(f)["aggregate"])
+    from icde2019_gpu_join_tpu import datagen
+    agg = datagen.host_oracle_aggregate(
+        rk, np.ones(rk.size, np.int32), sk, np.ones(sk.size, np.int32))
+    with open(path, "w") as f:
+        json.dump({"aggregate": int(agg), "n_r": int(rk.size),
+                   "n_s": int(sk.size)}, f)
+    return int(agg)
+
+
+def _oracle_groupby_cached(tag, rk, rp, sk, s_filter, s_gid, lo, hi,
+                           groups):
+    """Cached numpy filter->probe->groupby oracle (config 3's gate)."""
+    from icde2019_gpu_join_tpu.utils import oracle
+    path = _cache_path(tag)
+    if os.path.exists(path):
+        with open(path) as f:
+            rec = json.load(f)
+        return (np.asarray(rec["counts"], np.int64),
+                np.asarray(rec["sums"], np.int64))
+    ec, es = oracle.filter_probe_groupby(rk, rp, sk, s_filter, s_gid,
+                                         lo, hi, groups)
+    with open(path, "w") as f:
+        json.dump({"counts": np.asarray(ec).tolist(),
+                   "sums": np.asarray(es).tolist()}, f)
+    return np.asarray(ec), np.asarray(es)
+
+
 def _join_inputs(n_r, n_s, skew, seed=12345):
     import jax.numpy as jnp
     from icde2019_gpu_join_tpu.utils import datasets
@@ -124,8 +171,8 @@ def config3(scale):
     cnt, sums = filter_probe_groupby(*args, num_groups=groups)
     cnt, sums = np.asarray(cnt), np.asarray(sums)
     dt = time.perf_counter() - t0
-    ec, es = oracle.filter_probe_groupby(rk, rp, sk, s_filter, s_gid,
-                                         100, 600, groups)
+    ec, es = _oracle_groupby_cached(f"c3_s{scale}_seed42", rk, rp, sk,
+                                    s_filter, s_gid, 100, 600, groups)
     ok = np.array_equal(cnt, ec) and np.array_equal(sums, es)
     _report(3, f"filter_probe_groupby_{n_s>>20}M", n_s, dt, ok)
 
@@ -163,12 +210,8 @@ def config4(scale):
         t0 = time.perf_counter()
         res = eng.aggregate(r, s)
         dt = time.perf_counter() - t0
-    # host oracle: PK side is near-unique -> per-S match counts via
-    # searchsorted over sorted R (memory-frugal at 1B rows)
-    rs = np.sort(rk)
-    lo = np.searchsorted(rs, sk, side="left")
-    hi = np.searchsorted(rs, sk, side="right")
-    expect = int(np.uint32(np.sum(hi - lo, dtype=np.uint64) & 0xFFFFFFFF))
+    expect = _oracle_agg_cached(
+        f"c4_pkfk_s{scale}_z1.05_seed12345", rk, sk) & 0xFFFFFFFF
     got = int(np.uint32(np.int64(res.aggregate) & 0xFFFFFFFF))
     _report(4, f"zipf1.05_{n>>20}Mx{n>>20}M", 2 * n, dt, got == expect,
             {"regime": "coprocess" if big else "in_memory"})
@@ -280,11 +323,8 @@ def config6(scale_s):
     res = streaming_join_aggregate(
         Relation(jnp.asarray(rk), jnp.asarray(rp)), Relation(sk, sp), cfg)
     dt = time.perf_counter() - t0
-    # memory-frugal host oracle (PK-FK): match counts via searchsorted
-    rs = np.sort(rk)
-    lo = np.searchsorted(rs, sk, side="left")
-    hi = np.searchsorted(rs, sk, side="right")
-    expect = int(np.uint32(np.sum(hi - lo, dtype=np.uint64) & 0xFFFFFFFF))
+    expect = _oracle_agg_cached(
+        f"c6_r{n_r}_s{n_s}_seed12345", rk, sk) & 0xFFFFFFFF
     got = int(np.uint32(np.int64(res.aggregate) & 0xFFFFFFFF))
     _report(6, f"streaming_{n_r>>20}Mx{n_s>>20}M", n_r + n_s, dt,
             got == expect,
