@@ -26,6 +26,8 @@ timeout 10800 python benchmarks/run_configs.py --configs 6 --full \
   2>&1 | tee "$OUT/config6_full.jsonl"
 
 # --- collection + published tables -------------------------------------------
+log "regenerate weak-scaling model from fresh phase times"
+python benchmarks/regen_scaling_model.py "$OUT" || true
 log "collect -> CONFIGS_r04.json"
 python benchmarks/collect_r3.py "$OUT" CONFIGS_r04.json
 log "regenerate README/PARITY results tables"
