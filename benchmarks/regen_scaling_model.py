@@ -14,7 +14,9 @@ the judge); this derives the ici_model inputs from the fresh captures:
 Skips (exit 0 with a message) when captures are missing so the
 unattended chain never fails on a partial window.
 
-Usage: python benchmarks/regen_scaling_model.py [outdir]
+Usage: python benchmarks/regen_scaling_model.py [outdir] [dest_name]
+(dest_name defaults to WEAK_SCALING_MODEL_r04.json; round-5 runs pass
+WEAK_SCALING_MODEL_r05.json)
 """
 
 import glob
@@ -26,6 +28,7 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 outdir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
     ROOT, "benchmarks", "out_r3")
+dest_name = sys.argv[2] if len(sys.argv) > 2 else "WEAK_SCALING_MODEL_r04.json"
 
 
 def lines(path):
@@ -81,7 +84,7 @@ for rec in lines(os.path.join(outdir, "config5.jsonl")):
             0.0, rec["seconds"] / rows - best["elapsed_s"] / (1 << 28))
         bucket_s = per_row_gap * (1 << 27)  # per side at headline scale
 
-dest = os.path.join(ROOT, "WEAK_SCALING_MODEL_r04.json")
+dest = os.path.join(ROOT, dest_name)
 cmd = [sys.executable, os.path.join(ROOT, "benchmarks", "ici_model.py"),
        "--sort-s", f"{sort_s:.4f}", "--probe-s", f"{probe_s:.4f}",
        "--bucket-s", f"{bucket_s:.4f}", "--json", dest]
