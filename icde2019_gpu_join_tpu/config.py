@@ -121,10 +121,11 @@ class EngineConfig:
     # dispatches Join1/Join2/Join3 at 128e6+1, hash_join_clustered_probe.cu:2001).
     resident_limit_rows: int = 128_000_001
 
-    # Hot-path (sortval, payload) sort: None = keep the process-global
-    # setting (TPUJOIN_SORT_IMPL env, default "lax"); "lax" | "merge" |
-    # "packed" applies that implementation when the engine runs (switching
-    # clears jax trace caches — see ops.band_join.set_sort_impl).
+    # Hot-path (sortval, payload) sort: None = the process default
+    # (TPUJOIN_SORT_IMPL env, default "lax"); "lax" | "merge" | "packed"
+    # is resolved per CALL and threaded as a jit static argument, so two
+    # engines with different sort_impl coexist in one process and no
+    # cache clearing ever happens (see ops.band_join.resolve_sort_impl).
     sort_impl: Optional[str] = None
 
     def with_bits(self, total_bits: int) -> "EngineConfig":

@@ -109,7 +109,9 @@ def coprocess_join_aggregate(
     # wraparound add is associative); ONE host pull at the very end. Pulling
     # per pair would serialize the pipeline on a full device round-trip per
     # partition pair (~26ms each through the axon tunnel).
-    from icde2019_gpu_join_tpu.ops.band_join import banded_join_aggregate
+    from icde2019_gpu_join_tpu.ops.band_join import (banded_join_aggregate,
+                                                     resolve_sort_impl)
+    sort_impl = resolve_sort_impl(config.sort_impl)
 
     # Flat pair schedule (batch-ordered) for S-side double buffering.
     schedule = []
@@ -147,7 +149,8 @@ def coprocess_join_aggregate(
                 continue
             total_dev = total_dev + banded_join_aggregate(
                 rr[0], rr[1], ss[0], ss[1],
-                window_blocks=config.band_window_blocks)
+                window_blocks=config.band_window_blocks,
+                sort_impl=sort_impl)
         total = int(np.asarray(total_dev))   # the single sync point
         out["result"] = total
     return JoinResult(aggregate=int(np.int32(np.uint32(total & 0xFFFFFFFF))),

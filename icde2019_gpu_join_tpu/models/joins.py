@@ -46,10 +46,11 @@ class JoinResult:
     timer: Optional[PhaseTimer] = None
 
 
-@partial(jax.jit, static_argnames=("total_bits", "first_bit"))
-def _partition_pair(r_keys, r_pay, s_keys, s_pay, total_bits, first_bit):
-    pr = radix_partition(r_keys, r_pay, total_bits, first_bit)
-    ps = radix_partition(s_keys, s_pay, total_bits, first_bit)
+@partial(jax.jit, static_argnames=("total_bits", "first_bit", "sort_impl"))
+def _partition_pair(r_keys, r_pay, s_keys, s_pay, total_bits, first_bit,
+                    sort_impl):
+    pr = radix_partition(r_keys, r_pay, total_bits, first_bit, sort_impl)
+    ps = radix_partition(s_keys, s_pay, total_bits, first_bit, sort_impl)
     return pr, ps
 
 
@@ -58,9 +59,13 @@ class ClusteredJoin:
 
     def __init__(self, config: Optional[EngineConfig] = None):
         self.config = config or EngineConfig()
-        if self.config.sort_impl is not None:
-            from icde2019_gpu_join_tpu.ops.band_join import set_sort_impl
-            set_sort_impl(self.config.sort_impl)
+
+    def _sort_impl(self) -> str:
+        """config.sort_impl resolved against the process default at CALL
+        time — fed to the jitted paths as a static argument, so engines
+        with different impls never share or clobber compiled entries."""
+        from icde2019_gpu_join_tpu.ops.band_join import resolve_sort_impl
+        return resolve_sort_impl(self.config.sort_impl)
 
     def _bits(self, n_r: int, n_s: int) -> int:
         cfg = self.config
@@ -75,7 +80,8 @@ class ClusteredJoin:
         with timer.phase("partition", bytes_moved=2 * nbytes,
                          rows=r.num_rows + s.num_rows) as out:
             pr, ps = _partition_pair(
-                r.keys, r.payload, s.keys, s.payload, bits, cfg.radix.first_bit
+                r.keys, r.payload, s.keys, s.payload, bits,
+                cfg.radix.first_bit, self._sort_impl()
             )
             out["result"] = (pr.keys, ps.keys)
         with timer.phase("plan"):
@@ -133,6 +139,7 @@ class ClusteredJoin:
             agg = banded_join_aggregate(
                 r.keys, r.payload, s.keys, s.payload,
                 window_blocks=self.config.band_window_blocks,
+                sort_impl=self._sort_impl(),
             )
             out["result"] = agg
         return JoinResult(aggregate=int(agg), timer=timer)
@@ -151,7 +158,8 @@ class ClusteredJoin:
         with timer.phase("partition", bytes_moved=2 * nbytes,
                          rows=r.num_rows + s.num_rows) as out:
             pr, ps = _partition_pair(
-                r.keys, r.payload, s.keys, s.payload, bits, cfg.radix.first_bit
+                r.keys, r.payload, s.keys, s.payload, bits,
+                cfg.radix.first_bit, self._sort_impl()
             )
             out["result"] = (pr.keys, ps.keys)
         with timer.phase("plan"):
@@ -180,6 +188,7 @@ class ClusteredJoin:
                 c = banded_join_count(
                     r.keys, s.keys,
                     window_blocks=self.config.band_window_blocks,
+                    sort_impl=self._sort_impl(),
                 )
                 out["result"] = c
             return JoinResult(count=int(np.uint32(np.int64(int(c)))), timer=timer)
@@ -211,6 +220,7 @@ class ClusteredJoin:
                 out_r, out_s, total = banded_materialize(
                     r.keys, r.payload, s.keys, s.payload, capacity=capacity,
                     window_blocks=cfg.band_window_blocks,
+                    sort_impl=self._sort_impl(),
                 )
                 out["result"] = (out_r, out_s)
             return JoinResult(count=int(np.uint32(np.int64(int(total)))),
@@ -257,6 +267,7 @@ class ClusteredJoin:
                 agg = banded_join_late_aggregate(
                     r.keys, r_colsum, s.keys, s_colsum,
                     window_blocks=self.config.band_window_blocks,
+                    sort_impl=self._sort_impl(),
                 )
                 out["result"] = agg
             return JoinResult(aggregate=int(agg), timer=timer)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from icde2019_gpu_join_tpu.ops.band_join import (
     banded_probe_per_s,
+    resolve_sort_impl,
     sort_by_key,
 )
 from icde2019_gpu_join_tpu.ops.filter import filter_by_mask
@@ -62,7 +63,6 @@ def _groupby_sums2_exact(gids, vals1, vals2, num_groups: int):
     return seg_sums(v1_s), seg_sums(v2_s)
 
 
-@partial(jax.jit, static_argnames=("num_groups", "window_blocks"))
 def filter_probe_groupby(
     r_keys: jnp.ndarray,
     r_pay: jnp.ndarray,
@@ -73,16 +73,27 @@ def filter_probe_groupby(
     hi: jnp.ndarray,
     num_groups: int,
     window_blocks: int = 1,
+    sort_impl: str = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (per-group match COUNT int32, per-group SUM(r_pay) int32
     wraparound). Non-matching / filtered-out rows contribute nothing."""
+    return _filter_probe_groupby(
+        r_keys, r_pay, s_keys, s_filter_col, s_group_id, lo, hi,
+        num_groups, window_blocks, resolve_sort_impl(sort_impl))
+
+
+@partial(jax.jit, static_argnames=("num_groups", "window_blocks",
+                                   "sort_impl"))
+def _filter_probe_groupby(r_keys, r_pay, s_keys, s_filter_col, s_group_id,
+                          lo, hi, num_groups: int, window_blocks: int,
+                          sort_impl: str):
     keep = (s_filter_col >= lo) & (s_filter_col < hi)
     # Dead rows -> sentinel key -2 (sv 0x7FFFFFFE: sorts to the end, matches
     # nothing — R-side pads use -1). Group id rides as the sort payload.
     sk_masked = jnp.where(keep, s_keys, jnp.int32(-2))
     n_s = s_keys.shape[0]
-    s_sv, s_gid = sort_by_key(sk_masked, s_group_id)
-    r_sv, r_p = sort_by_key(r_keys, r_pay)
+    s_sv, s_gid = sort_by_key(sk_masked, s_group_id, sort_impl)
+    r_sv, r_p = sort_by_key(r_keys, r_pay, sort_impl)
     h, t = banded_probe_per_s(r_sv, r_p, s_sv, window_blocks=window_blocks)
     # S sentinel padding rows sit at the very end of the sorted order and may
     # carry garbage h (pad-vs-pad key equality); drop them statically.

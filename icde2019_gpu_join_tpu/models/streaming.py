@@ -31,14 +31,15 @@ from icde2019_gpu_join_tpu.relation import Relation
 from icde2019_gpu_join_tpu.utils.timing import PhaseTimer
 
 
-@jax.jit
-def _sort_side(keys, pay):
-    return sort_by_key(keys, pay)
+@partial(jax.jit, static_argnames=("sort_impl",))
+def _sort_side(keys, pay, sort_impl):
+    return sort_by_key(keys, pay, sort_impl)
 
 
-@partial(jax.jit, static_argnames=("window_blocks",))
-def _segment_probe(r_sv, r_p, s_keys, s_pay, total, window_blocks):
-    s_sv, s_p = sort_by_key(s_keys, s_pay)
+@partial(jax.jit, static_argnames=("window_blocks", "sort_impl"))
+def _segment_probe(r_sv, r_p, s_keys, s_pay, total, window_blocks,
+                   sort_impl):
+    s_sv, s_p = sort_by_key(s_keys, s_pay, sort_impl)
     agg = banded_probe(r_sv, r_p, s_sv, s_p, window_blocks, "mul")
     return total + agg.astype(jnp.uint32)
 
@@ -48,15 +49,19 @@ def streaming_join_aggregate(
 ) -> JoinResult:
     """SUM(Pr*Ps) with S streamed in segments. `s` may hold host numpy
     arrays (the oversized case) or device arrays."""
+    from icde2019_gpu_join_tpu.ops.band_join import resolve_sort_impl
+
     config = config or EngineConfig()
     timer = PhaseTimer()
     n_s = s.num_rows
     seg = config.segment_rows or max(1, min(1 << 27, -(-n_s // 4)))
     W = config.band_window_blocks
+    impl = resolve_sort_impl(config.sort_impl)
 
     with timer.phase("build_sort", bytes_moved=16 * r.num_rows,
                      rows=r.num_rows) as out:
-        r_sv, r_p = _sort_side(jnp.asarray(r.keys), jnp.asarray(r.payload))
+        r_sv, r_p = _sort_side(jnp.asarray(r.keys), jnp.asarray(r.payload),
+                               impl)
         out["result"] = r_sv
 
     s_keys_host = np.asarray(s.keys)
@@ -111,6 +116,6 @@ def streaming_join_aggregate(
             if i + 1 < len(starts):
                 nlo = starts[i + 1]
                 next_buf = put(nlo, min(nlo + seg, n_s), (i + 1) % 2)
-            total = _segment_probe(r_sv, r_p, sk, sp, total, W)
+            total = _segment_probe(r_sv, r_p, sk, sp, total, W, impl)
         out["result"] = total
     return JoinResult(aggregate=int(jnp.asarray(total).astype(jnp.int32)), timer=timer)

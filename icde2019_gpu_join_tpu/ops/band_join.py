@@ -57,21 +57,30 @@ _SORT_IMPL = os.environ.get("TPUJOIN_SORT_IMPL", "lax")
 
 
 def set_sort_impl(name: str) -> None:
-    """Select the hot-path sort ("lax" | "merge" | "packed").
+    """Set the process-default hot-path sort ("lax" | "merge" | "packed").
 
-    jit caches do not key on this module global, so an actual switch
-    clears jax's trace caches — otherwise previously traced callers would
-    silently keep the old implementation (round-3 advisor finding)."""
+    The impl is threaded as a REAL jit static argument through every
+    entry point (round-4 verdict item 7): public wrappers resolve
+    `sort_impl or _SORT_IMPL` before entering jit, so each impl owns its
+    own compile-cache entries, flipping the default never leaves a stale
+    trace behind, and two engines with different `EngineConfig.sort_impl`
+    coexist in one process without cache clearing."""
     global _SORT_IMPL
     assert name in ("lax", "merge", "packed")
-    if name != _SORT_IMPL:
-        _SORT_IMPL = name
-        jax.clear_caches()
+    _SORT_IMPL = name
 
 
 def get_sort_impl() -> str:
-    """The currently selected hot-path sort implementation."""
+    """The process-default hot-path sort implementation."""
     return _SORT_IMPL
+
+
+def resolve_sort_impl(sort_impl) -> str:
+    """Resolve an optional per-call impl against the process default —
+    call OUTSIDE jit so the result feeds a static argument."""
+    impl = sort_impl or _SORT_IMPL
+    assert impl in ("lax", "merge", "packed"), impl
+    return impl
 
 
 def _pad_sorted_input(keys: jnp.ndarray, pay: jnp.ndarray):
@@ -86,20 +95,25 @@ def _pad_sorted_input(keys: jnp.ndarray, pay: jnp.ndarray):
     return keys, pay
 
 
-def sort_pairs(sv: jnp.ndarray, pay: jnp.ndarray):
-    """The engine's hot 2-operand (sortval, payload) sort, routed through
-    the _SORT_IMPL switch. Signed-int32 ascending, unstable — all three
-    impls agree on the key order and the per-key payload multiset."""
-    if _SORT_IMPL == "merge":
+def sort_pairs(sv: jnp.ndarray, pay: jnp.ndarray, sort_impl: str = None):
+    """The engine's hot 2-operand (sortval, payload) sort. Signed-int32
+    ascending, unstable — all three impls agree on the key order and the
+    per-key payload multiset.
+
+    sort_impl: "lax" | "merge" | "packed" | None (= process default).
+    Callers inside jit must receive it as a static argument — the choice
+    is resolved at trace time."""
+    impl = resolve_sort_impl(sort_impl)
+    if impl == "merge":
         from icde2019_gpu_join_tpu.ops.merge_pallas import merge_sort_pairs
         return merge_sort_pairs(sv, pay)
-    if _SORT_IMPL == "packed":
+    if impl == "packed":
         from icde2019_gpu_join_tpu.ops.merge_pallas import packed_sort_pairs
         return packed_sort_pairs(sv, pay)
     return jax.lax.sort((sv, pay), num_keys=1, is_stable=False)
 
 
-def sort_by_key(keys: jnp.ndarray, pay: jnp.ndarray):
+def sort_by_key(keys: jnp.ndarray, pay: jnp.ndarray, sort_impl: str = None):
     """Sort (keys, pay) by uint32 key order; returns 128-padded arrays.
 
     The same order radix_partition produces (rotation with total_bits=0 is
@@ -107,7 +121,7 @@ def sort_by_key(keys: jnp.ndarray, pay: jnp.ndarray):
     """
     keys, pay = _pad_sorted_input(keys, pay)
     sv = rotate_keys(keys, 0, 0)
-    return sort_pairs(sv, pay)
+    return sort_pairs(sv, pay, sort_impl)
 
 
 def _ranks_of_sorted_probes(a: jnp.ndarray, b: jnp.ndarray, a_first_on_ties: bool):
@@ -610,11 +624,24 @@ def _extract_blocked(h, fm, off, s_p, r_p, capacity: int, total, s_lo,
     return out_r, out_s
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "window_blocks",
-                                             "wrap", "debug_force"))
 def banded_materialize(
     r_keys, r_pay, s_keys, s_pay, capacity: int, window_blocks: int = 1,
-    wrap: bool = True, debug_force: str = None,
+    wrap: bool = True, debug_force: str = None, sort_impl: str = None,
+):
+    """Materialize matched (Pr, Ps) pairs into `capacity`-sized buffers.
+    (Python wrapper: resolves the sort impl into a jit static arg.)"""
+    return _banded_materialize(
+        r_keys, r_pay, s_keys, s_pay, capacity=capacity,
+        window_blocks=window_blocks, wrap=wrap, debug_force=debug_force,
+        sort_impl=resolve_sort_impl(sort_impl))
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "window_blocks",
+                                             "wrap", "debug_force",
+                                             "sort_impl"))
+def _banded_materialize(
+    r_keys, r_pay, s_keys, s_pay, capacity: int, window_blocks: int,
+    wrap: bool, debug_force: str, sort_impl: str,
 ):
     """Materialize matched (Pr, Ps) pairs into `capacity`-sized buffers.
 
@@ -635,8 +662,8 @@ def banded_materialize(
     m = pos + capacity*floor((total-1-pos)/capacity); its owning S row
     comes from one searchsorted over the match-offset table, so cost stays
     O(capacity log n_s) regardless of total."""
-    r_sv, r_p = sort_by_key(r_keys, r_pay)
-    s_sv, s_p = sort_by_key(s_keys, s_pay)
+    r_sv, r_p = sort_by_key(r_keys, r_pay, sort_impl)
+    s_sv, s_p = sort_by_key(s_keys, s_pay, sort_impl)
     n_s_real = s_keys.shape[0]
     h, fm = banded_match_descriptors(r_sv, s_sv, window_blocks)
     # drop S sentinel-padding rows (at the end of the sorted order)
@@ -750,38 +777,60 @@ def _materialize_slot_path(h, fm, off, s_p, r_p, capacity, total, pos,
     return out_r, out_s
 
 
-@functools.partial(jax.jit, static_argnames=("window_blocks",))
 def banded_join_aggregate(
-    r_keys, r_pay, s_keys, s_pay, window_blocks: int = 1
+    r_keys, r_pay, s_keys, s_pay, window_blocks: int = 1,
+    sort_impl: str = None,
 ) -> jnp.ndarray:
     """Full pipeline: sort both sides + banded probe, one jit, no host sync.
 
     SUM(Pr*Ps) over key matches, int32 wraparound."""
-    r_sv, r_p = sort_by_key(r_keys, r_pay)
-    s_sv, s_p = sort_by_key(s_keys, s_pay)
+    return _banded_join_aggregate(r_keys, r_pay, s_keys, s_pay,
+                                  window_blocks,
+                                  resolve_sort_impl(sort_impl))
+
+
+@functools.partial(jax.jit, static_argnames=("window_blocks", "sort_impl"))
+def _banded_join_aggregate(r_keys, r_pay, s_keys, s_pay,
+                           window_blocks: int, sort_impl: str):
+    r_sv, r_p = sort_by_key(r_keys, r_pay, sort_impl)
+    s_sv, s_p = sort_by_key(s_keys, s_pay, sort_impl)
     return banded_probe(r_sv, r_p, s_sv, s_p, window_blocks, "mul")
 
 
-@functools.partial(jax.jit, static_argnames=("window_blocks",))
 def banded_join_late_aggregate(
-    r_keys, r_colsum, s_keys, s_colsum, window_blocks: int = 1
+    r_keys, r_colsum, s_keys, s_colsum, window_blocks: int = 1,
+    sort_impl: str = None,
 ) -> jnp.ndarray:
     """Late-materialization aggregate: SUM over matches of (Rcolsum +
     Scolsum), int32 wraparound (join_partitioned_varpayload analog,
     src/join-primitives.cu:1420-1557). Requires keys != -1 (sentinel)."""
-    r_sv, r_c = sort_by_key(r_keys, r_colsum)
-    s_sv, s_c = sort_by_key(s_keys, s_colsum)
+    return _banded_join_late_aggregate(r_keys, r_colsum, s_keys, s_colsum,
+                                       window_blocks,
+                                       resolve_sort_impl(sort_impl))
+
+
+@functools.partial(jax.jit, static_argnames=("window_blocks", "sort_impl"))
+def _banded_join_late_aggregate(r_keys, r_colsum, s_keys, s_colsum,
+                                window_blocks: int, sort_impl: str):
+    r_sv, r_c = sort_by_key(r_keys, r_colsum, sort_impl)
+    s_sv, s_c = sort_by_key(s_keys, s_colsum, sort_impl)
     return banded_probe(r_sv, r_c, s_sv, s_c, window_blocks, "add")
 
 
-@functools.partial(jax.jit, static_argnames=("window_blocks",))
-def banded_join_count(r_keys, s_keys, window_blocks: int = 1) -> jnp.ndarray:
+def banded_join_count(r_keys, s_keys, window_blocks: int = 1,
+                      sort_impl: str = None) -> jnp.ndarray:
     """Match count (int32 wraparound; exact when < 2^31).
 
     Computed as SUM(1*1) over matches so that sentinel padding rows
     (payload 0) contribute nothing — the reference counts the same way
     (payloads initialized to 1, hj_ClusteredProbe,
     src/hash_join_clustered_probe.cu:1991-1999)."""
-    r_sv, r_p = sort_by_key(r_keys, jnp.ones_like(r_keys))
-    s_sv, s_p = sort_by_key(s_keys, jnp.ones_like(s_keys))
+    return _banded_join_count(r_keys, s_keys, window_blocks,
+                              resolve_sort_impl(sort_impl))
+
+
+@functools.partial(jax.jit, static_argnames=("window_blocks", "sort_impl"))
+def _banded_join_count(r_keys, s_keys, window_blocks: int, sort_impl: str):
+    r_sv, r_p = sort_by_key(r_keys, jnp.ones_like(r_keys), sort_impl)
+    s_sv, s_p = sort_by_key(s_keys, jnp.ones_like(s_keys), sort_impl)
     return banded_probe(r_sv, r_p, s_sv, s_p, window_blocks, "mul")

@@ -69,16 +69,19 @@ def radix_partition(
     payload: jnp.ndarray,
     total_bits: int,
     first_bit: int = 0,
+    sort_impl: str = None,
 ) -> PartitionedRelation:
     """Partition (keys, payload) into 2^total_bits partitions, CSR layout.
 
     One (rotated-key, payload) sort: groups by partition AND orders
     within each partition by the remaining key bits — subsumes the
-    reference's two passes at any radix depth in one shot.
+    reference's two passes at any radix depth in one shot. sort_impl picks
+    the hot sort (None = process default); jitted callers must pass it as
+    a static argument.
     """
     sv = rotate_keys(keys, total_bits, first_bit)
     from icde2019_gpu_join_tpu.ops.band_join import sort_pairs
-    sv_sorted, pays_s = sort_pairs(sv, payload)
+    sv_sorted, pays_s = sort_pairs(sv, payload, sort_impl)
     keys_s = unrotate_keys(sv_sorted, total_bits, first_bit)
     counts, offsets = _csr_from_sorted_sortval(sv_sorted, total_bits)
     return PartitionedRelation(keys_s, pays_s, counts, offsets, total_bits, first_bit)

@@ -132,7 +132,8 @@ def global_ht_probe_aggregate(table_k, table_p, s_keys, s_pay,
 
 def global_ht_join_aggregate(r_keys, r_pay, s_keys, s_pay,
                              log_buckets: int | None = None,
-                             chain_cap: int = 8):
+                             chain_cap: int = 8,
+                             sort_impl: str | None = None):
     """Global chained-hash-table join baseline (build_ht_chains /
     chains_probing analog, src/join-primitives.cu:681-742): ONE table over
     the whole build side in device memory, probed by random access — no
@@ -158,7 +159,8 @@ def global_ht_join_aggregate(r_keys, r_pay, s_keys, s_pay,
 
     def with_overflow(_):
         from icde2019_gpu_join_tpu.ops.band_join import banded_join_aggregate
-        return banded_join_aggregate(ov_keys, ov_pay, s_keys, s_pay)
+        return banded_join_aggregate(ov_keys, ov_pay, s_keys, s_pay,
+                                     sort_impl=sort_impl)
 
     residual = jax.lax.cond(
         n_ov > 0, with_overflow, lambda _: jnp.int32(0), operand=None)

@@ -38,7 +38,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from icde2019_gpu_join_tpu.ops.band_join import banded_join_aggregate
+from icde2019_gpu_join_tpu.ops.band_join import (banded_join_aggregate,
+                                                 banded_materialize,
+                                                 resolve_sort_impl)
 from icde2019_gpu_join_tpu.parallel import plan as xplan
 from icde2019_gpu_join_tpu.parallel.exchange import (
     all_to_all_exchange,
@@ -64,7 +66,7 @@ def _bucketize(method: str, chunk: int):
 
 def _local_join_after_exchange(rk, rp, sk, sp, axis: str, first_bit: int,
                                cap_r: int, cap_s: int, method: str,
-                               chunk: int):
+                               chunk: int, sort_impl: str):
     nd = jax.lax.axis_size(axis)
     part = _bucketize(method, chunk)
     fr = part(rk, rp, nd, cap_r, first_bit)
@@ -72,7 +74,8 @@ def _local_join_after_exchange(rk, rp, sk, sp, axis: str, first_bit: int,
     gk_r, gp_r = all_to_all_exchange(fr.keys, fr.pays, axis)
     gk_s, gp_s = all_to_all_exchange(fs.keys, fs.pays, axis)
     agg = banded_join_aggregate(
-        gk_r.reshape(-1), gp_r.reshape(-1), gk_s.reshape(-1), gp_s.reshape(-1)
+        gk_r.reshape(-1), gp_r.reshape(-1), gk_s.reshape(-1),
+        gp_s.reshape(-1), sort_impl=sort_impl,
     )
     agg = jax.lax.psum(agg.astype(jnp.uint32), axis).astype(jnp.int32)
     overflow = jax.lax.psum(fr.overflow + fs.overflow, axis)
@@ -115,6 +118,7 @@ def distributed_join_aggregate(
     slack: Optional[float] = None,
     method: str = "group",
     chunk: int = 4096,
+    sort_impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Global SUM(Pr*Ps) over a 1D mesh. Inputs are global arrays (sharded
     or shardable over `axis`; lengths must divide the mesh size). Returns
@@ -123,9 +127,11 @@ def distributed_join_aggregate(
     nd = mesh.shape[axis]
     n_r, n_s = r_keys.shape[0], s_keys.shape[0]
 
+    impl = resolve_sort_impl(sort_impl)
+
     def run(cap_r, cap_s):
         fn = _aggregate_fn(mesh, axis, first_bit, cap_r, cap_s, method,
-                           chunk)
+                           chunk, impl)
         return fn(r_keys, r_pay, s_keys, s_pay)
 
     if slack is None:
@@ -145,7 +151,7 @@ def distributed_join_aggregate(
 
 @functools.lru_cache(maxsize=64)
 def _aggregate_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
-                  cap_s: int, method: str, chunk: int):
+                  cap_s: int, method: str, chunk: int, sort_impl: str):
     """Cached jitted shard_map — building jit(shard_map(partial(...)))
     per call defeats jax's jit cache (fresh callable identity every time)
     and re-traces/recompiles on every invocation (measured: a warm 16M
@@ -155,7 +161,7 @@ def _aggregate_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
             partial(
                 _local_join_after_exchange,
                 axis=axis, first_bit=first_bit, cap_r=cap_r, cap_s=cap_s,
-                method=method, chunk=chunk,
+                method=method, chunk=chunk, sort_impl=sort_impl,
             ),
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
@@ -169,7 +175,7 @@ def _aggregate_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
 
 
 def _local_segmented(rk, rp, sk, sp, axis, first_bit, cap_r, cap_s,
-                     num_segments, method, chunk):
+                     num_segments, method, chunk, sort_impl):
     """Build side exchanged + sorted once (resident); probe side flows in
     segments through bucket -> all_to_all -> sort -> banded probe. The
     per-segment structure is what lets the runtime overlap segment k+1's
@@ -182,7 +188,7 @@ def _local_segmented(rk, rp, sk, sp, axis, first_bit, cap_r, cap_s,
     part = _bucketize(method, chunk)
     fr = part(rk, rp, nd, cap_r, first_bit)
     gk_r, gp_r = all_to_all_exchange(fr.keys, fr.pays, axis)
-    r_sv, r_p = sort_by_key(gk_r.reshape(-1), gp_r.reshape(-1))
+    r_sv, r_p = sort_by_key(gk_r.reshape(-1), gp_r.reshape(-1), sort_impl)
 
     sk_seg = sk.reshape(num_segments, -1)
     sp_seg = sp.reshape(num_segments, -1)
@@ -192,7 +198,7 @@ def _local_segmented(rk, rp, sk, sp, axis, first_bit, cap_r, cap_s,
         k, p = seg
         fs = part(k, p, nd, cap_s, first_bit)
         gk, gp = all_to_all_exchange(fs.keys, fs.pays, axis)
-        s_sv, s_p = sort_by_key(gk.reshape(-1), gp.reshape(-1))
+        s_sv, s_p = sort_by_key(gk.reshape(-1), gp.reshape(-1), sort_impl)
         agg = banded_probe(r_sv, r_p, s_sv, s_p, 2, "mul")
         return (acc + agg.astype(jnp.uint32), ov + fs.overflow), None
 
@@ -216,6 +222,7 @@ def distributed_join_segmented(
     method: str = "group",
     chunk: int = 4096,
     split_heavy: Optional[bool] = None,
+    sort_impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed join with the probe side streamed in segments so the ICI
     all-to-all of segment k+1 can overlap the banded probe of segment k
@@ -231,9 +238,11 @@ def distributed_join_segmented(
     nd = mesh.shape[axis]
     n_r, n_s = r_keys.shape[0], s_keys.shape[0]
 
+    impl = resolve_sort_impl(sort_impl)
+
     def run(cap_r, cap_s):
         fn = _segmented_fn(mesh, axis, first_bit, cap_r, cap_s,
-                           num_segments, method, chunk)
+                           num_segments, method, chunk, impl)
         return fn(r_keys, r_pay, s_keys, s_pay)
 
     if split_heavy is not False and slack is None and nd > 1:
@@ -255,7 +264,8 @@ def distributed_join_segmented(
             if hplan.split:
                 fn = _heavy_segmented_fn(
                     mesh, axis, first_bit, hplan.fbits, hplan.heavy_ids,
-                    hplan.cap_r, hplan.cap_s, hplan.cap_rh, num_segments)
+                    hplan.cap_r, hplan.cap_s, hplan.cap_rh, num_segments,
+                    impl)
                 return fn(r_keys, r_pay, s_keys, s_pay)
 
     if slack is None:
@@ -281,7 +291,8 @@ def distributed_join_segmented(
 
 @functools.lru_cache(maxsize=64)
 def _segmented_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
-                  cap_s: int, num_segments: int, method: str, chunk: int):
+                  cap_s: int, num_segments: int, method: str, chunk: int,
+                  sort_impl: str):
     """Cached jitted shard_map (see _aggregate_fn)."""
     return jax.jit(
         jax.shard_map(
@@ -289,6 +300,7 @@ def _segmented_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
                 _local_segmented,
                 axis=axis, first_bit=first_bit, cap_r=cap_r, cap_s=cap_s,
                 num_segments=num_segments, method=method, chunk=chunk,
+                sort_impl=sort_impl,
             ),
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
@@ -335,7 +347,8 @@ def _pack_heavy(keys, pays, mask, cap: int, first_bit: int):
 
 
 def _local_heavy_segmented(rk, rp, sk, sp, axis, first_bit, fbits,
-                           heavy_ids, cap_r, cap_s, cap_rh, num_segments):
+                           heavy_ids, cap_r, cap_s, cap_rh, num_segments,
+                           sort_impl):
     """PRPD heavy-split segmented join (north-star 'heavy-hitter skew
     detection with partition splitting'; reference analog: decompose_chains
     src/join-primitives.cu:843-874 + knapsack batching
@@ -366,7 +379,7 @@ def _local_heavy_segmented(rk, rp, sk, sp, axis, first_bit, fbits,
     ghp = jax.lax.all_gather(hp, axis, tiled=True)
     r_sv, r_p = sort_by_key(
         jnp.concatenate([gk_r.reshape(-1), ghk]),
-        jnp.concatenate([gp_r.reshape(-1), ghp]))
+        jnp.concatenate([gp_r.reshape(-1), ghp]), sort_impl)
 
     sk_seg = sk.reshape(num_segments, -1)
     sp_seg = sp.reshape(num_segments, -1)
@@ -384,7 +397,7 @@ def _local_heavy_segmented(rk, rp, sk, sp, axis, first_bit, fbits,
         lp = jnp.where(hm, p, 0)
         s_sv, s_p = sort_by_key(
             jnp.concatenate([gk.reshape(-1), lk]),
-            jnp.concatenate([gp.reshape(-1), lp]))
+            jnp.concatenate([gp.reshape(-1), lp]), sort_impl)
         agg = banded_probe(r_sv, r_p, s_sv, s_p, 2, "mul")
         return (acc + agg.astype(jnp.uint32), ov + fs.overflow), None
 
@@ -400,7 +413,7 @@ def _local_heavy_segmented(rk, rp, sk, sp, axis, first_bit, fbits,
 @functools.lru_cache(maxsize=64)
 def _heavy_segmented_fn(mesh: Mesh, axis: str, first_bit: int, fbits: int,
                         heavy_ids: tuple, cap_r: int, cap_s: int,
-                        cap_rh: int, num_segments: int):
+                        cap_rh: int, num_segments: int, sort_impl: str):
     """Cached jitted shard_map (see _aggregate_fn)."""
     return jax.jit(
         jax.shard_map(
@@ -409,6 +422,7 @@ def _heavy_segmented_fn(mesh: Mesh, axis: str, first_bit: int, fbits: int,
                 axis=axis, first_bit=first_bit, fbits=fbits,
                 heavy_ids=heavy_ids, cap_r=cap_r, cap_s=cap_s,
                 cap_rh=cap_rh, num_segments=num_segments,
+                sort_impl=sort_impl,
             ),
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
@@ -419,7 +433,7 @@ def _heavy_segmented_fn(mesh: Mesh, axis: str, first_bit: int, fbits: int,
 
 
 def _local_materialize(rk, rp, sk, sp, axis, first_bit, cap_r, cap_s,
-                       capacity, wrap):
+                       capacity, wrap, sort_impl):
     """Exchange both sides with sort-based frames + (start,count) metadata,
     mask the received pad rows to NON-MATCHING sentinel keys, then run the
     single-chip banded materializer on the local key range.
@@ -439,8 +453,6 @@ def _local_materialize(rk, rp, sk, sp, axis, first_bit, cap_r, cap_s,
     (src/hash_join_clustered_probe.cu:1947-1961), whose atomic-cursor
     output order is nondeterministic — parity is defined on the (Pr, Ps)
     multiset."""
-    from icde2019_gpu_join_tpu.ops.band_join import banded_materialize
-
     nd = jax.lax.axis_size(axis)
 
     def xch(k, p, cap):
@@ -457,7 +469,8 @@ def _local_materialize(rk, rp, sk, sp, axis, first_bit, cap_r, cap_s,
     sk2 = jnp.where(val_s, gk_s, jnp.int32(-2))
     sp2 = jnp.where(val_s, gp_s, 0)
     out_r, out_s, total = banded_materialize(rk2, rp2, sk2, sp2,
-                                             capacity=capacity, wrap=wrap)
+                                             capacity=capacity, wrap=wrap,
+                                             sort_impl=sort_impl)
     overflow = jax.lax.psum(ov_r + ov_s, axis)
     return out_r, out_s, total.reshape(1), overflow
 
@@ -469,6 +482,7 @@ def distributed_join_materialize(
     axis: str = "x",
     first_bit: int = 0,
     wrap: bool = True,
+    sort_impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Distributed materializing join over a 1D mesh: every matched
     (Pr, Ps) pair lands in the output buffer of the chip owning its key's
@@ -494,20 +508,21 @@ def distributed_join_materialize(
     caps = _exact_caps(r_keys, s_keys, mesh, axis, nd, first_bit,
                        "sort", 0)
     fn = _materialize_fn(mesh, axis, first_bit, caps[0], caps[1],
-                         int(capacity_per_chip), bool(wrap))
+                         int(capacity_per_chip), bool(wrap),
+                         resolve_sort_impl(sort_impl))
     return fn(r_keys, r_pay, s_keys, s_pay)
 
 
 @functools.lru_cache(maxsize=64)
 def _materialize_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
-                    cap_s: int, capacity: int, wrap: bool):
+                    cap_s: int, capacity: int, wrap: bool, sort_impl: str):
     """Cached jitted shard_map (see _aggregate_fn)."""
     return jax.jit(
         jax.shard_map(
             partial(
                 _local_materialize,
                 axis=axis, first_bit=first_bit, cap_r=cap_r, cap_s=cap_s,
-                capacity=capacity, wrap=wrap,
+                capacity=capacity, wrap=wrap, sort_impl=sort_impl,
             ),
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
@@ -517,7 +532,8 @@ def _materialize_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
     )
 
 
-def _two_level_local(rk, rp, sk, sp, host_axis, chip_axis, first_bit, caps):
+def _two_level_local(rk, rp, sk, sp, host_axis, chip_axis, first_bit, caps,
+                     sort_impl):
     """Two-level exchange: hosts exchange over DCN first (outer radix bits),
     then chips within a host over ICI (next bits). This keeps the heavy
     all-to-all fan-in hierarchical, matching the pod's physical topology.
@@ -546,7 +562,7 @@ def _two_level_local(rk, rp, sk, sp, host_axis, chip_axis, first_bit, caps):
 
     rk2, rp2, ov_r = two_level_side(rk, rp, cap_r_h, cap_r_c)
     sk2, sp2, ov_s = two_level_side(sk, sp, cap_s_h, cap_s_c)
-    agg = banded_join_aggregate(rk2, rp2, sk2, sp2)
+    agg = banded_join_aggregate(rk2, rp2, sk2, sp2, sort_impl=sort_impl)
     agg = jax.lax.psum(
         jax.lax.psum(agg.astype(jnp.uint32), chip_axis), host_axis
     ).astype(jnp.int32)
@@ -562,6 +578,7 @@ def distributed_join_aggregate_2level(
     chip_axis: str = "chip",
     first_bit: int = 0,
     slack: Optional[float] = None,
+    sort_impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-level (DCN x ICI) distributed join over a 2D mesh. slack=None
     (default) derives exact per-level caps from one joint-histogram
@@ -569,8 +586,11 @@ def distributed_join_aggregate_2level(
     nh, nc = mesh.shape[host_axis], mesh.shape[chip_axis]
     n_r, n_s = r_keys.shape[0], s_keys.shape[0]
 
+    impl = resolve_sort_impl(sort_impl)
+
     def run(caps):
-        fn = _two_level_fn(mesh, host_axis, chip_axis, first_bit, caps)
+        fn = _two_level_fn(mesh, host_axis, chip_axis, first_bit, caps,
+                           impl)
         return fn(r_keys, r_pay, s_keys, s_pay)
 
     def exact():
@@ -602,14 +622,14 @@ def distributed_join_aggregate_2level(
 
 @functools.lru_cache(maxsize=64)
 def _two_level_fn(mesh: Mesh, host_axis: str, chip_axis: str,
-                  first_bit: int, caps):
+                  first_bit: int, caps, sort_impl: str):
     """Cached jitted shard_map (see _aggregate_fn)."""
     return jax.jit(
         jax.shard_map(
             partial(
                 _two_level_local,
                 host_axis=host_axis, chip_axis=chip_axis, first_bit=first_bit,
-                caps=caps,
+                caps=caps, sort_impl=sort_impl,
             ),
             mesh=mesh,
             in_specs=(P((host_axis, chip_axis)),) * 4,
