@@ -194,22 +194,27 @@ def _local_segmented(rk, rp, sk, sp, axis, first_bit, cap_r, cap_s,
     sp_seg = sp.reshape(num_segments, -1)
 
     def seg_step(carry, seg):
-        acc, ov = carry
+        acc, ov, recv = carry
         k, p = seg
         fs = part(k, p, nd, cap_s, first_bit)
         gk, gp = all_to_all_exchange(fs.keys, fs.pays, axis)
+        # executed-balance metadata: real probe rows THIS chip received
+        # this segment (round-4 verdict item 6 — measure, don't project)
+        _, ct = all_to_all_meta(fs.start, fs.count, axis)
         s_sv, s_p = sort_by_key(gk.reshape(-1), gp.reshape(-1), sort_impl)
         agg = banded_probe(r_sv, r_p, s_sv, s_p, 2, "mul")
-        return (acc + agg.astype(jnp.uint32), ov + fs.overflow), None
+        return (acc + agg.astype(jnp.uint32), ov + fs.overflow,
+                recv + jnp.sum(ct)), None
 
-    (acc, ov_s), _ = jax.lax.scan(
+    (acc, ov_s, recv_s), _ = jax.lax.scan(
         seg_step,
-        (jnp.uint32(0) + (rk[0] * 0).astype(jnp.uint32), fr.overflow * 0),
+        (jnp.uint32(0) + (rk[0] * 0).astype(jnp.uint32), fr.overflow * 0,
+         jnp.int32(0)),
         (sk_seg, sp_seg),
     )
     agg = jax.lax.psum(acc, axis).astype(jnp.int32)
     overflow = jax.lax.psum(fr.overflow + ov_s, axis)
-    return agg, overflow
+    return agg, overflow, recv_s.reshape(1)
 
 
 def distributed_join_segmented(
@@ -223,6 +228,7 @@ def distributed_join_segmented(
     chunk: int = 4096,
     split_heavy: Optional[bool] = None,
     sort_impl: Optional[str] = None,
+    return_loads: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed join with the probe side streamed in segments so the ICI
     all-to-all of segment k+1 can overlap the banded probe of segment k
@@ -234,11 +240,23 @@ def distributed_join_segmented(
     histogram; when some destination would receive >2x its fair share, the
     fine-grained PRPD heavy-split plan kicks in (heavy R broadcast + local
     heavy S, _local_heavy_segmented). True forces the fine plan; False
-    disables splitting entirely."""
+    disables splitting entirely.
+
+    return_loads=True appends the EXECUTED per-chip probe load (real S
+    rows each chip received through the exchange + heavy rows it kept
+    local — measured from the exchanged frame metadata, not projected) as
+    a host numpy [ndev] array: (agg, overflow, loads)."""
     nd = mesh.shape[axis]
     n_r, n_s = r_keys.shape[0], s_keys.shape[0]
 
     impl = resolve_sort_impl(sort_impl)
+
+    def _ret(out):
+        agg, ov, loads = out
+        if return_loads:
+            import numpy as _np
+            return agg, ov, _np.asarray(loads)
+        return agg, ov
 
     def run(cap_r, cap_s):
         fn = _segmented_fn(mesh, axis, first_bit, cap_r, cap_s,
@@ -266,27 +284,27 @@ def distributed_join_segmented(
                     mesh, axis, first_bit, hplan.fbits, hplan.heavy_ids,
                     hplan.cap_r, hplan.cap_s, hplan.cap_rh, num_segments,
                     impl)
-                return fn(r_keys, r_pay, s_keys, s_pay)
+                return _ret(fn(r_keys, r_pay, s_keys, s_pay))
 
     if slack is None:
         caps = _exact_caps(r_keys, s_keys, mesh, axis, nd, first_bit,
                            method, chunk, segments=num_segments)
-        agg, ov = run(*caps)
-        if int(ov) > 0:  # per-segment cap underestimate (skewed segments)
+        out = run(*caps)
+        if int(out[1]) > 0:  # per-segment cap underestimate (skewed segs)
             caps = (caps[0], _round128(caps[1] * num_segments))
-            agg, ov = run(*caps)
-        return agg, ov
-    agg, ov = run(*_slack_caps(slack, n_r, n_s, nd, num_segments))
-    if int(ov) > 0:
+            out = run(*caps)
+        return _ret(out)
+    out = run(*_slack_caps(slack, n_r, n_s, nd, num_segments))
+    if int(out[1]) > 0:
         warnings.warn(
-            f"segmented exchange overflow ({int(ov)} rows); replanning")
+            f"segmented exchange overflow ({int(out[1])} rows); replanning")
         caps = _exact_caps(r_keys, s_keys, mesh, axis, nd, first_bit,
                            method, chunk, segments=num_segments)
-        agg, ov = run(*caps)
-        if int(ov) > 0:
+        out = run(*caps)
+        if int(out[1]) > 0:
             caps = (caps[0], _round128(caps[1] * num_segments))
-            agg, ov = run(*caps)
-    return agg, ov
+            out = run(*caps)
+    return _ret(out)
 
 
 @functools.lru_cache(maxsize=64)
@@ -304,7 +322,7 @@ def _segmented_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
             ),
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P(axis)),
             check_vma=False,
         )
     )
@@ -322,9 +340,12 @@ def _is_heavy_mask(keys, fbits: int, first_bit: int, heavy_ids):
     return m
 
 
-def _pack_heavy(keys, pays, mask, cap: int, first_bit: int):
+def _pack_heavy(keys, pays, mask, cap: int, first_bit: int,
+                pad_key=None):
     """Compact the masked rows into a static [cap] frame (sort-to-front),
-    pad slots payload-0 with spread keys. Returns (keys, pays, overflow)."""
+    pad slots payload-0 with spread keys (aggregate paths) or the constant
+    `pad_key` (materialize paths, where a spread pad colliding with a real
+    key would emit a phantom pair). Returns (keys, pays, overflow)."""
     from icde2019_gpu_join_tpu.ops.bits import rotate_keys, unrotate_keys
     from icde2019_gpu_join_tpu.parallel.exchange import (_SENT,
                                                          _spread_pad_keys)
@@ -340,8 +361,9 @@ def _pack_heavy(keys, pays, mask, cap: int, first_bit: int):
     cnt = jnp.sum(mask.astype(jnp.int32))
     idx = jnp.arange(cap, dtype=jnp.int32)
     live = idx < cnt
-    out_k = jnp.where(live, unrotate_keys(sv_s, 0, first_bit),
-                      _spread_pad_keys(idx))
+    pads = (_spread_pad_keys(idx) if pad_key is None
+            else jnp.full((cap,), pad_key, jnp.int32))
+    out_k = jnp.where(live, unrotate_keys(sv_s, 0, first_bit), pads)
     out_p = jnp.where(live, p_s, 0)
     return out_k, out_p, jnp.maximum(cnt - cap, 0)
 
@@ -386,11 +408,14 @@ def _local_heavy_segmented(rk, rp, sk, sp, axis, first_bit, fbits,
     seg_idx = jnp.arange(sk_seg.shape[1], dtype=jnp.int32)
 
     def seg_step(carry, seg):
-        acc, ov = carry
+        acc, ov, recv = carry
         k, p = seg
         hm = _is_heavy_mask(k, fbits, first_bit, heavy_ids)
         fs = partition_to_buckets(k, p, nd, cap_s, first_bit, valid=~hm)
         gk, gp = all_to_all_exchange(fs.keys, fs.pays, axis)
+        # executed-balance metadata: received normal rows + local heavy
+        # rows = the probe rows THIS chip actually processes
+        _, ct = all_to_all_meta(fs.start, fs.count, axis)
         # heavy S rows stay local; non-heavy slots become payload-0 pads
         # with spread keys (a sentinel run would blow up the band window)
         lk = jnp.where(hm, k, _spread_pad_keys(seg_idx))
@@ -399,15 +424,16 @@ def _local_heavy_segmented(rk, rp, sk, sp, axis, first_bit, fbits,
             jnp.concatenate([gk.reshape(-1), lk]),
             jnp.concatenate([gp.reshape(-1), lp]), sort_impl)
         agg = banded_probe(r_sv, r_p, s_sv, s_p, 2, "mul")
-        return (acc + agg.astype(jnp.uint32), ov + fs.overflow), None
+        return (acc + agg.astype(jnp.uint32), ov + fs.overflow,
+                recv + jnp.sum(ct) + jnp.sum(hm.astype(jnp.int32))), None
 
-    (acc, ov_s), _ = jax.lax.scan(
+    (acc, ov_s, recv_s), _ = jax.lax.scan(
         seg_step, (jnp.uint32(0) + (rk[0] * 0).astype(jnp.uint32),
-                   fr.overflow * 0),
+                   fr.overflow * 0, jnp.int32(0)),
         (sk_seg, sp_seg))
     agg = jax.lax.psum(acc, axis).astype(jnp.int32)
     overflow = jax.lax.psum(fr.overflow + ov_h + ov_s, axis)
-    return agg, overflow
+    return agg, overflow, recv_s.reshape(1)
 
 
 @functools.lru_cache(maxsize=64)
@@ -426,7 +452,7 @@ def _heavy_segmented_fn(mesh: Mesh, axis: str, first_bit: int, fbits: int,
             ),
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P(axis)),
             check_vma=False,
         )
     )
@@ -483,6 +509,7 @@ def distributed_join_materialize(
     first_bit: int = 0,
     wrap: bool = True,
     sort_impl: Optional[str] = None,
+    split_heavy: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Distributed materializing join over a 1D mesh: every matched
     (Pr, Ps) pair lands in the output buffer of the chip owning its key's
@@ -493,6 +520,16 @@ def distributed_join_materialize(
     src/join-primitives.cu:1371-1373; wrap=False truncates). Global match
     count = totals.sum(). Caps come from the exact histogram pre-pass, so
     exchange overflow is 0 by construction.
+
+    split_heavy (None = auto, like distributed_join_segmented): when some
+    destination chip would receive >2x its fair share of S, the PRPD
+    heavy split kicks in — heavy-bucket S rows materialize WHERE THEY
+    LIVE against the all_gather-replicated heavy R rows, everything else
+    keeps owner-chip placement. The OUTPUT MULTISET across chips is
+    unchanged (tested); only the per-chip placement of heavy keys' pairs
+    becomes engine-defined, which is the point: no single chip's ring
+    absorbs a whole hot key (reference analog: decompose_chains applies
+    to the materializing probe too, src/join-primitives.cu:843-874).
 
     Enforces the key-domain contract (keys >= 0) loudly: materialization
     pads received frames at keys -1/-2, so a negative REAL key would
@@ -505,11 +542,27 @@ def distributed_join_materialize(
             "engine key-domain contract (keys >= 0; -1/-2 are reserved "
             "pad sentinels) — see PARITY.md deviations")
     nd = mesh.shape[axis]
+    impl = resolve_sort_impl(sort_impl)
+    if split_heavy is not False and nd > 1:
+        probe_fine = split_heavy is True
+        if not probe_fine:
+            coarse = xplan.destination_histograms(s_keys, mesh, axis, nd,
+                                                  first_bit)
+            probe_fine = (coarse.sum(axis=0).max()
+                          > 2.0 * (s_keys.shape[0] / nd))
+        if probe_fine:
+            hplan = xplan.plan_heavy_split(r_keys, s_keys, mesh, axis, nd,
+                                           first_bit)
+            if hplan.split:
+                fn = _materialize_heavy_fn(
+                    mesh, axis, first_bit, hplan.fbits, hplan.heavy_ids,
+                    hplan.cap_r, hplan.cap_s, hplan.cap_rh,
+                    int(capacity_per_chip), bool(wrap), impl)
+                return fn(r_keys, r_pay, s_keys, s_pay)
     caps = _exact_caps(r_keys, s_keys, mesh, axis, nd, first_bit,
                        "sort", 0)
     fn = _materialize_fn(mesh, axis, first_bit, caps[0], caps[1],
-                         int(capacity_per_chip), bool(wrap),
-                         resolve_sort_impl(sort_impl))
+                         int(capacity_per_chip), bool(wrap), impl)
     return fn(r_keys, r_pay, s_keys, s_pay)
 
 
@@ -523,6 +576,66 @@ def _materialize_fn(mesh: Mesh, axis: str, first_bit: int, cap_r: int,
                 _local_materialize,
                 axis=axis, first_bit=first_bit, cap_r=cap_r, cap_s=cap_s,
                 capacity=capacity, wrap=wrap, sort_impl=sort_impl,
+            ),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P()),
+            check_vma=False,
+        )
+    )
+
+
+def _local_materialize_heavy(rk, rp, sk, sp, axis, first_bit, fbits,
+                             heavy_ids, cap_r, cap_s, cap_rh, capacity,
+                             wrap, sort_impl):
+    """PRPD heavy-split materialization (see _local_heavy_segmented for
+    the split argument — each match pair is produced exactly once):
+    normal rows ride the valid-masked exchange with received pads masked
+    to the -1/-2 sentinels (_local_materialize's convention); heavy R
+    rows are packed with CONSTANT -1 pads (a spread pad could collide
+    with a real S key and emit a phantom pair) and replicated; heavy S
+    rows materialize on their home chip."""
+    nd = jax.lax.axis_size(axis)
+    hm_r = _is_heavy_mask(rk, fbits, first_bit, heavy_ids)
+    hm_s = _is_heavy_mask(sk, fbits, first_bit, heavy_ids)
+
+    def xch(k, p, cap, hm, pad):
+        f = partition_to_buckets(k, p, nd, cap, first_bit, valid=~hm)
+        gk, gp = all_to_all_exchange(f.keys, f.pays, axis)
+        st, ct = all_to_all_meta(f.start, f.count, axis)
+        valid = frames_valid_mask(st, ct, frame_rows(cap)).reshape(-1)
+        return (jnp.where(valid, gk.reshape(-1), jnp.int32(pad)),
+                jnp.where(valid, gp.reshape(-1), 0), f.overflow)
+
+    rk2, rp2, ov_r = xch(rk, rp, cap_r, hm_r, -1)
+    sk2, sp2, ov_s = xch(sk, sp, cap_s, hm_s, -2)
+    hk, hp, ov_h = _pack_heavy(rk, rp, hm_r, cap_rh, first_bit, pad_key=-1)
+    ghk = jax.lax.all_gather(hk, axis, tiled=True)
+    ghp = jax.lax.all_gather(hp, axis, tiled=True)
+    lk = jnp.where(hm_s, sk, jnp.int32(-2))
+    lp = jnp.where(hm_s, sp, 0)
+    out_r, out_s, total = banded_materialize(
+        jnp.concatenate([rk2, ghk]), jnp.concatenate([rp2, ghp]),
+        jnp.concatenate([sk2, lk]), jnp.concatenate([sp2, lp]),
+        capacity=capacity, wrap=wrap, sort_impl=sort_impl)
+    overflow = jax.lax.psum(ov_r + ov_s + ov_h, axis)
+    return out_r, out_s, total.reshape(1), overflow
+
+
+@functools.lru_cache(maxsize=64)
+def _materialize_heavy_fn(mesh: Mesh, axis: str, first_bit: int, fbits: int,
+                          heavy_ids: tuple, cap_r: int, cap_s: int,
+                          cap_rh: int, capacity: int, wrap: bool,
+                          sort_impl: str):
+    """Cached jitted shard_map (see _aggregate_fn)."""
+    return jax.jit(
+        jax.shard_map(
+            partial(
+                _local_materialize_heavy,
+                axis=axis, first_bit=first_bit, fbits=fbits,
+                heavy_ids=heavy_ids, cap_r=cap_r, cap_s=cap_s,
+                cap_rh=cap_rh, capacity=capacity, wrap=wrap,
+                sort_impl=sort_impl,
             ),
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
@@ -558,17 +671,20 @@ def _two_level_local(rk, rp, sk, sp, host_axis, chip_axis, first_bit, caps,
         f2 = partition_to_buckets(gk.reshape(-1), gp.reshape(-1), nc,
                                   cap_c, first_bit + hbits, valid=valid)
         gk2, gp2 = all_to_all_exchange(f2.keys, f2.pays, chip_axis)
-        return gk2.reshape(-1), gp2.reshape(-1), f1.overflow + f2.overflow
+        # executed-balance metadata: real rows this chip received
+        _, ct2 = all_to_all_meta(f2.start, f2.count, chip_axis)
+        return (gk2.reshape(-1), gp2.reshape(-1),
+                f1.overflow + f2.overflow, jnp.sum(ct2))
 
-    rk2, rp2, ov_r = two_level_side(rk, rp, cap_r_h, cap_r_c)
-    sk2, sp2, ov_s = two_level_side(sk, sp, cap_s_h, cap_s_c)
+    rk2, rp2, ov_r, _ = two_level_side(rk, rp, cap_r_h, cap_r_c)
+    sk2, sp2, ov_s, recv_s = two_level_side(sk, sp, cap_s_h, cap_s_c)
     agg = banded_join_aggregate(rk2, rp2, sk2, sp2, sort_impl=sort_impl)
     agg = jax.lax.psum(
         jax.lax.psum(agg.astype(jnp.uint32), chip_axis), host_axis
     ).astype(jnp.int32)
     overflow = jax.lax.psum(
         jax.lax.psum(ov_r + ov_s, chip_axis), host_axis)
-    return agg, overflow
+    return agg, overflow, recv_s.reshape(1)
 
 
 def distributed_join_aggregate_2level(
@@ -579,14 +695,31 @@ def distributed_join_aggregate_2level(
     first_bit: int = 0,
     slack: Optional[float] = None,
     sort_impl: Optional[str] = None,
+    split_heavy: Optional[bool] = None,
+    return_loads: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-level (DCN x ICI) distributed join over a 2D mesh. slack=None
     (default) derives exact per-level caps from one joint-histogram
-    pre-pass; an explicit slack skips the pre-pass with auto-replan."""
+    pre-pass; an explicit slack skips the pre-pass with auto-replan.
+
+    split_heavy (None = auto): when some destination chip of the nh*nc
+    mesh would receive >2x its fair share of S, the PRPD heavy split
+    composes with both exchange levels (heavy R replicated mesh-wide,
+    heavy S local — _two_level_heavy_local). return_loads=True appends
+    the EXECUTED per-chip probe load [nh*nc] (host-major) measured from
+    the exchanged frame metadata."""
     nh, nc = mesh.shape[host_axis], mesh.shape[chip_axis]
+    nd = nh * nc
     n_r, n_s = r_keys.shape[0], s_keys.shape[0]
 
     impl = resolve_sort_impl(sort_impl)
+
+    def _ret(out):
+        agg, ov, loads = out
+        if return_loads:
+            import numpy as _np
+            return agg, ov, _np.asarray(loads)
+        return agg, ov
 
     def run(caps):
         fn = _two_level_fn(mesh, host_axis, chip_axis, first_bit, caps,
@@ -600,8 +733,26 @@ def distributed_join_aggregate_2level(
                                             chip_axis, first_bit)
         return (cr_h, cs_h, cr_c, cs_c)
 
+    if split_heavy is not False and slack is None and nd > 1:
+        probe_fine = split_heavy is True
+        if not probe_fine:
+            coarse = xplan.fine_histograms_2d(
+                s_keys, mesh, host_axis, chip_axis,
+                (nh - 1).bit_length() + (nc - 1).bit_length(), first_bit)
+            probe_fine = coarse.sum(axis=0).max() > 2.0 * (n_s / nd)
+        if probe_fine:
+            hplan = xplan.plan_heavy_split_2level(
+                r_keys, s_keys, mesh, host_axis, chip_axis, first_bit)
+            if hplan.split:
+                fn = _two_level_heavy_fn(
+                    mesh, host_axis, chip_axis, first_bit, hplan.fbits,
+                    hplan.heavy_ids,
+                    (hplan.cap_r_h, hplan.cap_s_h, hplan.cap_r_c,
+                     hplan.cap_s_c), hplan.cap_rh, impl)
+                return _ret(fn(r_keys, r_pay, s_keys, s_pay))
+
     if slack is None:
-        return run(exact())
+        return _ret(run(exact()))
     shard_r = n_r // (nh * nc)
     shard_s = n_s // (nh * nc)
     caps = (
@@ -612,12 +763,12 @@ def distributed_join_aggregate_2level(
         _round128(int(slack * shard_r / nc) + 1),
         _round128(int(slack * shard_s / nc) + 1),
     )
-    agg, ov = run(caps)
-    if int(ov) > 0:
+    out = run(caps)
+    if int(out[1]) > 0:
         warnings.warn(
-            f"2-level exchange overflow ({int(ov)} rows); replanning")
-        agg, ov = run(exact())
-    return agg, ov
+            f"2-level exchange overflow ({int(out[1])} rows); replanning")
+        out = run(exact())
+    return _ret(out)
 
 
 @functools.lru_cache(maxsize=64)
@@ -633,7 +784,80 @@ def _two_level_fn(mesh: Mesh, host_axis: str, chip_axis: str,
             ),
             mesh=mesh,
             in_specs=(P((host_axis, chip_axis)),) * 4,
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P((host_axis, chip_axis))),
+            check_vma=False,
+        )
+    )
+
+
+def _two_level_heavy_local(rk, rp, sk, sp, host_axis, chip_axis, first_bit,
+                           fbits, heavy_ids, caps, cap_rh, sort_impl):
+    """PRPD heavy split composed with the two-level exchange: heavy-bucket
+    rows skip BOTH exchange levels — heavy R is replicated to every chip
+    of the 2D mesh (all_gather over chip then host axis), heavy S joins
+    where it lives; normal rows ride the usual valid-masked two levels.
+    Same exactly-once argument as _local_heavy_segmented."""
+    from icde2019_gpu_join_tpu.parallel.exchange import _spread_pad_keys
+
+    (cap_r_h, cap_s_h, cap_r_c, cap_s_c) = caps
+    nh = jax.lax.axis_size(host_axis)
+    nc = jax.lax.axis_size(chip_axis)
+    hbits = (nh - 1).bit_length()
+
+    def side(keys, pays, cap_h, cap_c, hm):
+        f1 = partition_to_buckets(keys, pays, nh, cap_h, first_bit,
+                                  valid=~hm)
+        gk, gp = all_to_all_exchange(f1.keys, f1.pays, host_axis)
+        st, ct = all_to_all_meta(f1.start, f1.count, host_axis)
+        valid = frames_valid_mask(st, ct, frame_rows(cap_h)).reshape(-1)
+        f2 = partition_to_buckets(gk.reshape(-1), gp.reshape(-1), nc,
+                                  cap_c, first_bit + hbits, valid=valid)
+        gk2, gp2 = all_to_all_exchange(f2.keys, f2.pays, chip_axis)
+        _, ct2 = all_to_all_meta(f2.start, f2.count, chip_axis)
+        return (gk2.reshape(-1), gp2.reshape(-1),
+                f1.overflow + f2.overflow, jnp.sum(ct2))
+
+    hm_r = _is_heavy_mask(rk, fbits, first_bit, heavy_ids)
+    hm_s = _is_heavy_mask(sk, fbits, first_bit, heavy_ids)
+    rk2, rp2, ov_r, _ = side(rk, rp, cap_r_h, cap_r_c, hm_r)
+    sk2, sp2, ov_s, recv_s = side(sk, sp, cap_s_h, cap_s_c, hm_s)
+    hk, hp, ov_h = _pack_heavy(rk, rp, hm_r, cap_rh, first_bit)
+    ghk = jax.lax.all_gather(
+        jax.lax.all_gather(hk, chip_axis, tiled=True), host_axis, tiled=True)
+    ghp = jax.lax.all_gather(
+        jax.lax.all_gather(hp, chip_axis, tiled=True), host_axis, tiled=True)
+    idx = jnp.arange(sk.shape[0], dtype=jnp.int32)
+    lk = jnp.where(hm_s, sk, _spread_pad_keys(idx))
+    lp = jnp.where(hm_s, sp, 0)
+    agg = banded_join_aggregate(
+        jnp.concatenate([rk2, ghk]), jnp.concatenate([rp2, ghp]),
+        jnp.concatenate([sk2, lk]), jnp.concatenate([sp2, lp]),
+        sort_impl=sort_impl)
+    agg = jax.lax.psum(
+        jax.lax.psum(agg.astype(jnp.uint32), chip_axis), host_axis
+    ).astype(jnp.int32)
+    overflow = jax.lax.psum(
+        jax.lax.psum(ov_r + ov_s + ov_h, chip_axis), host_axis)
+    loads = recv_s + jnp.sum(hm_s.astype(jnp.int32))
+    return agg, overflow, loads.reshape(1)
+
+
+@functools.lru_cache(maxsize=64)
+def _two_level_heavy_fn(mesh: Mesh, host_axis: str, chip_axis: str,
+                        first_bit: int, fbits: int, heavy_ids: tuple,
+                        caps, cap_rh: int, sort_impl: str):
+    """Cached jitted shard_map (see _aggregate_fn)."""
+    return jax.jit(
+        jax.shard_map(
+            partial(
+                _two_level_heavy_local,
+                host_axis=host_axis, chip_axis=chip_axis,
+                first_bit=first_bit, fbits=fbits, heavy_ids=heavy_ids,
+                caps=caps, cap_rh=cap_rh, sort_impl=sort_impl,
+            ),
+            mesh=mesh,
+            in_specs=(P((host_axis, chip_axis)),) * 4,
+            out_specs=(P(), P(), P((host_axis, chip_axis))),
             check_vma=False,
         )
     )

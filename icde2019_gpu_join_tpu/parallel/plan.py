@@ -254,6 +254,34 @@ def fine_histograms(keys, mesh: Mesh, axis: str, fbits: int,
         _fine_hist_fn(mesh, axis, fbits, first_bit, segments)(keys))
 
 
+@functools.lru_cache(maxsize=64)
+def _fine_hist_fn_2d(mesh: Mesh, host_axis: str, chip_axis: str, bits: int,
+                     first_bit: int):
+    """2D-mesh variant of _fine_hist_fn (one fine histogram per chip)."""
+    from icde2019_gpu_join_tpu.ops.bits import (partition_boundaries,
+                                                rotate_keys)
+
+    def f(keys):
+        rot_s = jnp.sort(rotate_keys(keys, bits, first_bit))
+        bounds = jnp.concatenate(
+            [partition_boundaries(bits),
+             jnp.asarray([0x7FFFFFFF], jnp.int32)])
+        offs = jnp.searchsorted(rot_s, bounds, side="left").astype(jnp.int32)
+        return jnp.diff(offs)[None]
+
+    return jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P((host_axis, chip_axis)),),
+        out_specs=P((host_axis, chip_axis), None)))
+
+
+def fine_histograms_2d(keys, mesh: Mesh, host_axis: str, chip_axis: str,
+                       fbits: int, first_bit: int = 0) -> np.ndarray:
+    """[nh*nc, 2^fbits] per-chip fine radix histogram over a 2D mesh
+    (host-major chip order, matching the mesh's device linearization)."""
+    return np.asarray(
+        _fine_hist_fn_2d(mesh, host_axis, chip_axis, fbits, first_bit)(keys))
+
+
 def plan_heavy_split(
     r_keys, s_keys, mesh: Mesh, axis: str, num_buckets: int,
     first_bit: int = 0, extra_bits: int = 6, heavy_fraction: float = 0.25,
@@ -309,3 +337,89 @@ def plan_heavy_split(
     load = recv_s + local_heavy_s
     return HeavySplitPlan(tuple(int(h) for h in np.asarray(heavy)), fbits,
                           cap_r, cap_s, cap_rh, load.astype(np.int64))
+
+
+class HeavySplit2LevelPlan:
+    """Static PRPD plan for the two-level (DCN x ICI) exchange: heavy fine
+    buckets + exact per-level caps with heavy rows excluded (host-computed,
+    hashable — feeds jit static args)."""
+
+    def __init__(self, heavy_ids: Tuple[int, ...], fbits: int,
+                 cap_r_h: int, cap_s_h: int, cap_r_c: int, cap_s_c: int,
+                 cap_rh: int, load_rows: np.ndarray):
+        self.heavy_ids = tuple(int(h) for h in heavy_ids)
+        self.fbits = int(fbits)
+        self.cap_r_h = int(cap_r_h)  # level-1 (host) R bucket cap
+        self.cap_s_h = int(cap_s_h)  # level-1 (host) S bucket cap
+        self.cap_r_c = int(cap_r_c)  # level-2 (chip) R bucket cap
+        self.cap_s_c = int(cap_s_c)  # level-2 (chip) S bucket cap
+        self.cap_rh = int(cap_rh)    # per-chip heavy-R broadcast frame rows
+        self.load_rows = load_rows   # [nh*nc] projected probe rows per chip
+
+    @property
+    def split(self) -> bool:
+        return len(self.heavy_ids) > 0
+
+
+def plan_heavy_split_2level(
+    r_keys, s_keys, mesh: Mesh, host_axis: str, chip_axis: str,
+    first_bit: int = 0, extra_bits: int = 6, heavy_fraction: float = 0.25,
+    max_heavy: int = 128,
+) -> HeavySplit2LevelPlan:
+    """PRPD heavy-split plan for the two-level exchange (the skew analog of
+    plan_heavy_split for the DCN x ICI topology; reference:
+    decompose_chains applies to every strategy,
+    src/join-primitives.cu:843-874).
+
+    Fine-bucket id layout (dbits = hbits + cbits destination bits at
+    first_bit, extra_bits more above): f = h + (c << hbits) + (rest <<
+    dbits) — host bits low, matching _two_level_local's level split. A
+    fine bucket is HEAVY when its global S count exceeds heavy_fraction x
+    the uniform per-chip share. Caps are exact with heavy rows excluded at
+    level 1 (they never enter either exchange level).
+    """
+    nh, nc = mesh.shape[host_axis], mesh.shape[chip_axis]
+    nd = nh * nc
+    hbits = (nh - 1).bit_length()
+    cbits = (nc - 1).bit_length()
+    assert nh == 1 << hbits and nc == 1 << cbits, "mesh axes must be 2^k"
+    dbits = hbits + cbits
+    fbits = min(dbits + extra_bits, 22)
+    nfine = 1 << fbits
+    nrest = nfine >> dbits
+    hist_s = fine_histograms_2d(s_keys, mesh, host_axis, chip_axis, fbits,
+                                first_bit)                  # [nd, nfine]
+    hist_r = fine_histograms_2d(r_keys, mesh, host_axis, chip_axis, fbits,
+                                first_bit)
+    tot_s = hist_s.sum(axis=0)
+    factor = heavy_fraction * nfine / nd
+    heavy = heavy_destinations(hist_s, factor)
+    if len(heavy) > max_heavy:
+        heavy = heavy[np.argsort(tot_s[heavy])[::-1][:max_heavy]]
+        heavy = np.sort(heavy)
+    mask = np.ones(nfine, bool)
+    mask[heavy] = False
+    # decompose: hist[src, f] with f = rest*(nc*nh) + c*nh + h
+    m5 = mask.reshape(1, 1, nrest, nc, nh)
+    hs = hist_s.reshape(nh, nc, nrest, nc, nh) * m5   # [h0, c0, rest, c, h]
+    hr = hist_r.reshape(nh, nc, nrest, nc, nh) * m5
+    # level 1: rows from source (h0, c0) to host h
+    cap_s_h = max(_BLK, _round_up(hs.sum(axis=(2, 3)).max(), _BLK))
+    cap_r_h = max(_BLK, _round_up(hr.sum(axis=(2, 3)).max(), _BLK))
+    # level 2: source chip (h, c0) holds sum over h0 of rows to host h from
+    # column c0; per level-2 destination chip c
+    cap_s_c = max(_BLK, _round_up(hs.sum(axis=(0, 2)).max(), _BLK))
+    cap_r_c = max(_BLK, _round_up(hr.sum(axis=(0, 2)).max(), _BLK))
+    heavy_r_per_chip = hist_r[:, ~mask].sum(axis=1) if len(heavy) \
+        else np.zeros(nd, np.int64)
+    cap_rh = max(_BLK, _round_up(heavy_r_per_chip.max(), _BLK)) \
+        if len(heavy) else _BLK
+    # projected probe load per destination chip (h, c): normal S received
+    # + heavy S kept local at that mesh position
+    recv_ch = hs.sum(axis=(0, 1, 2))                  # [c, h]
+    recv = recv_ch.T.reshape(-1)                      # [nd] host-major
+    local_heavy_s = hist_s[:, ~mask].sum(axis=1)      # [nd] host-major
+    load = recv + local_heavy_s
+    return HeavySplit2LevelPlan(
+        tuple(int(h) for h in np.asarray(heavy)), fbits,
+        cap_r_h, cap_s_h, cap_r_c, cap_s_c, cap_rh, load.astype(np.int64))
