@@ -142,8 +142,13 @@ def global_ht_join_aggregate(r_keys, r_pay, s_keys, s_pay,
 
     Build rows past a bucket's C slots (possible under heavy key
     duplication) are joined exactly through a zero-masked fallback pass
-    over the sorted engine, entered only when overflow exists (lax.cond),
-    so the result is bit-exact for any input.
+    over the sorted engine, entered only when overflow exists (lax.cond).
+    Bit-exact for any input WITHIN the engine key-domain contract (keys
+    >= 0, relation.py): the fallback runs the banded engine, whose -1 pad
+    sentinel maps to sortval 0x7FFFFFFF — a negative real key could alias
+    it. The direct (no-overflow) gather-probe path alone tolerates any
+    int32 key, which the negative-key test exercises with an asserted
+    zero-overflow build.
 
     Returns int32 SUM(Pr*Ps) with uint32 wraparound.
     """

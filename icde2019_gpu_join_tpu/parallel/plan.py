@@ -68,7 +68,14 @@ def destination_histograms(keys, mesh: Mesh, axis: str, num_buckets: int,
     """[ndev, num_buckets] per-source-chip destination row counts (host
     numpy). One device pass + one small host pull."""
     if num_buckets == 1:
+        # Degenerate fan-out: every row of a shard goes to bucket 0, so the
+        # exact per-source count is the shard size — no device pass needed.
+        # Exactness requires even sharding (the module-wide contract:
+        # global lengths divide the mesh size), asserted here so a future
+        # ragged caller fails loudly instead of gating on a wrong count.
         nd = mesh.shape[axis]
+        assert keys.shape[0] % nd == 0, (
+            "destination_histograms: shard lengths must divide the mesh")
         return np.full((nd, 1), keys.shape[0] // nd, dtype=np.int32)
     bits = (num_buckets - 1).bit_length()
     h = _hist_fn_1d(mesh, axis, bits, first_bit)(keys)
@@ -301,6 +308,9 @@ def plan_heavy_split(
     excluded; cap_rh covers the largest per-chip heavy R residue.
     """
     nd = mesh.shape[axis]
+    assert num_buckets == nd, (
+        "plan_heavy_split plans the chip-destination exchange: num_buckets "
+        f"must equal the mesh size ({num_buckets} != {nd})")
     dbits = (nd - 1).bit_length()
     fbits = min(dbits + extra_bits, 22)
     nfine = 1 << fbits

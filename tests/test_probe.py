@@ -125,14 +125,27 @@ def test_global_ht_baseline(rng):
 
 
 def test_global_ht_no_overflow_and_negative_keys(rng):
-    """Unique build keys at load factor <=0.5: pure gather-probe path (no
-    fallback), including negative int32 keys."""
-    from icde2019_gpu_join_tpu.ops.perfect_hash import global_ht_join_aggregate
+    """Unique build keys at load factor <=0.5: pure gather-probe path,
+    including negative int32 keys. Negative keys are OUTSIDE the engine
+    key-domain contract, so they are only exact on the direct path —
+    assert the build really had zero chain overflow (Fibonacci-hash
+    collisions could in principle stack > chain_cap unique keys in one
+    bucket, which would route negatives through the banded fallback and
+    its -1 pad sentinel); if a jax/seed change ever trips this, pick a
+    different seed rather than weakening the assert."""
+    import math
+    from icde2019_gpu_join_tpu.ops.perfect_hash import (
+        global_ht_build, global_ht_join_aggregate)
 
     rk = (rng.permutation(1 << 15)[:10_000].astype(np.int32) - (1 << 14))
     sk = rk[rng.randint(0, rk.size, 25_000)].astype(np.int32)
     rp = rng.randint(-50, 50, rk.size).astype(np.int32)
     sp = rng.randint(-50, 50, sk.size).astype(np.int32)
+    chain_cap = 8
+    log_buckets = max(1, math.ceil(math.log2(2 * rk.size / chain_cap)))
+    *_, n_ov = global_ht_build(jnp.asarray(rk), jnp.asarray(rp),
+                               log_buckets, chain_cap)
+    assert int(n_ov) == 0, "test premise broken: fallback would run"
     got = int(global_ht_join_aggregate(
         jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp)))
     assert got == oracle.join_aggregate(rk, rp, sk, sp)
