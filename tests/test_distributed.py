@@ -611,3 +611,82 @@ def test_heavy_split_materialize_dominant_key(rng):
     totals0 = np.asarray(totals0)
     assert int(totals0.sum()) == expect.shape[0]
     assert totals0.max() > 2.0 * uniform, "control should be imbalanced"
+
+
+@needs_8
+@pytest.mark.parametrize("seed", range(4))
+def test_distributed_2level_fuzz_vs_host_oracle(seed):
+    """Randomized sweep of the 2-level pipeline (exact caps + PRPD
+    heavy-split auto-detection) against the independent C++ host oracle,
+    same adversarial families as the segmented fuzz."""
+    from icde2019_gpu_join_tpu import datagen
+
+    g = np.random.default_rng(5000 + seed)
+    n_r, n_s = 4096, 16384
+    if seed == 0:    # dup-heavy both sides
+        rk = g.integers(0, 500, n_r).astype(np.int32)
+        sk = g.integers(0, 500, n_s).astype(np.int32)
+    elif seed == 1:  # full non-negative int32 domain
+        rk = g.integers(0, 2**31, n_r).astype(np.int64).astype(np.int32)
+        sk = g.integers(0, 2**31, n_s).astype(np.int64).astype(np.int32)
+    elif seed == 2:  # 40% of S on one key -> heavy path through 2 levels
+        rk = g.permutation(n_r).astype(np.int32)
+        sk = np.where(g.random(n_s) < 0.4, rk[3],
+                      rk[g.integers(0, n_r, n_s)]).astype(np.int32)
+    else:            # key-domain boundaries
+        pool = np.array([0, 1, 2, 42, 2**31 - 2, 2**31 - 1], np.int32)
+        rk = pool[g.integers(0, pool.size, n_r)]
+        sk = pool[g.integers(0, pool.size, n_s)]
+    rp = g.integers(-2**31, 2**31, n_r).astype(np.int64).astype(np.int32)
+    sp = g.integers(-2**31, 2**31, n_s).astype(np.int64).astype(np.int32)
+
+    mesh = make_mesh_2d(2, 4)
+    agg, overflow = distributed_join_aggregate_2level(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        mesh)
+    expect = datagen.host_oracle_aggregate(rk, rp, sk, sp)
+    assert int(overflow) == 0
+    assert int(agg) == expect, f"seed={seed}"
+
+
+@needs_8
+@pytest.mark.parametrize("seed", range(3))
+def test_distributed_materialize_fuzz_multiset(seed):
+    """Randomized sweep of distributed materialization (incl. the heavy
+    path when skew trips the auto check): the union of per-chip rings is
+    exactly the oracle's (Pr, Ps) multiset."""
+    from icde2019_gpu_join_tpu.parallel.dist_join import (
+        distributed_join_materialize)
+
+    g = np.random.default_rng(6000 + seed)
+    n_r, n_s, nd = 2048, 8192, 8
+    if seed == 0:    # dup build keys (multi-match)
+        rk = g.integers(0, 600, n_r).astype(np.int32)
+        sk = g.integers(0, 1200, n_s).astype(np.int32)
+    elif seed == 1:  # 40% of S on one key -> heavy materialize path
+        rk = g.permutation(n_r).astype(np.int32)
+        sk = np.where(g.random(n_s) < 0.4, rk[9],
+                      rk[g.integers(0, n_r, n_s)]).astype(np.int32)
+    else:            # sparse matches
+        rk = g.integers(0, 1 << 20, n_r).astype(np.int32)
+        sk = g.integers(0, 1 << 20, n_s).astype(np.int32)
+    rp = g.integers(1, 1000, n_r).astype(np.int32)
+    sp = g.integers(1, 1000, n_s).astype(np.int32)
+    expect = oracle.join_materialize(rk, rp, sk, sp)
+    mesh = make_mesh(nd)
+    cap = max(256, -(-2 * max(expect.shape[0], 1) // (nd * 128)) * 128)
+    out_r, out_s, totals, ov = distributed_join_materialize(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk), jnp.asarray(sp),
+        mesh, capacity_per_chip=cap)
+    assert int(ov) == 0
+    totals = np.asarray(totals)
+    assert int(totals.sum()) == expect.shape[0], f"seed={seed}"
+    pairs = np.stack([np.asarray(out_r), np.asarray(out_s)], axis=1)
+    live = np.zeros(nd * cap, bool)
+    for d in range(nd):
+        assert totals[d] <= cap, f"seed={seed}: ring wrapped"
+        live[d * cap: d * cap + totals[d]] = True
+    assert not np.any(pairs[~live])
+    got = pairs[live]
+    got = got[np.lexsort((got[:, 1], got[:, 0]))]
+    assert np.array_equal(got, expect), f"seed={seed}"
