@@ -43,35 +43,42 @@ log "device check"
 timeout 300 python -c "import jax; print(jax.devices())" || {
   log "no device — aborting"; exit 1; }
 
-# --- 1. smoke gate (validates every Pallas path incl. the merge cascade) ----
+# --- 0. FIRST NUMBER in minutes: quick lax headline at 2^24 -----------------
+# (a 10-minute window should still produce a fresh measurement; oracle
+# values for s18/s24/s27 are pre-cached in data/oracle_agg_*.json)
+BENCH_SCALE=24 run "$OUT/bench_quick24.jsonl" 900 python bench.py
+
+# --- 1. the lax headline (no Pallas dependency — before the smoke gate) -----
+run "$OUT/bench_lax.jsonl" 2400 python bench.py
+
+# --- 2. smoke gate (validates every Pallas path incl. the merge cascade) ----
 run "$OUT/smoke.jsonl" 1800 python benchmarks/tpu_smoke.py
 
-# --- 2. THE decision: headline under each sort impl -------------------------
-# (host-oracle gate results are pre-cached in data/oracle_agg_*.json)
-for impl in lax packed merge; do
+# --- 3. THE decision: headline under the alternate sort impls ---------------
+for impl in packed merge; do
   TPUJOIN_SORT_IMPL=$impl run "$OUT/bench_$impl.jsonl" 2400 python bench.py
 done
 
-# --- 3. exchange leg (config 5, round-2 bar: >=50% of plain join) -----------
+# --- 4. exchange leg (config 5, round-2 bar: >=50% of plain join) -----------
 run "$OUT/config5.jsonl" 3600 python benchmarks/run_configs.py --configs 5
 
-# --- 4. Zipf headline (cached 2^27 z=1.05 dataset; cheap) --------------------
+# --- 5. Zipf headline (cached 2^27 z=1.05 dataset; cheap) --------------------
 BENCH_SKEW=1.05 run "$OUT/bench_zipf.jsonl" 2400 python bench.py
 
 log "decision legs done — interim collection"
 collect
 python benchmarks/r4_decide.py "$OUT" || true
 
-# --- 5. sort diagnostics (explain WHY the winner wins) -----------------------
+# --- 6. sort diagnostics (explain WHY the winner wins) -----------------------
 run "$OUT/sort_stages.jsonl" 2400 python benchmarks/merge_sort_bench.py stages 24
 run "$OUT/sort_packed.jsonl" 1800 python benchmarks/merge_sort_bench.py packed 27
 run "$OUT/sort_full.jsonl"   3600 python benchmarks/merge_sort_bench.py full 27
 
-# --- 6. overlap evidence ------------------------------------------------------
+# --- 7. overlap evidence ------------------------------------------------------
 run "$OUT/overlap_coprocess.jsonl" 2400 python benchmarks/overlap_bench.py coprocess 22
 run "$OUT/overlap_streaming.jsonl" 2400 python benchmarks/overlap_bench.py
 
-# --- 7. scale ladder ----------------------------------------------------------
+# --- 8. scale ladder ----------------------------------------------------------
 run "$OUT/config12.jsonl"     3600 python benchmarks/run_configs.py --configs 1,2
 run "$OUT/config3_full.jsonl" 7200 python benchmarks/run_configs.py --configs 3 --full
 run "$OUT/config4_full.jsonl" 10800 python benchmarks/run_configs.py --configs 4 --full
