@@ -18,6 +18,7 @@ Usage: python benchmarks/merge_sort_bench.py [stages|packed|full|all] [log2n]
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -26,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from icde2019_gpu_join_tpu.ops import merge_pallas as mp
 

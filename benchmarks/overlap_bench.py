@@ -48,7 +48,7 @@ def main():
     rp = np.ones(n_r, np.int32)
     sp = np.ones(n_s, np.int32)
 
-    r_sv, r_p = _sort_side(jnp.asarray(rk), jnp.asarray(rp))
+    r_sv, r_p = _sort_side(jnp.asarray(rk), jnp.asarray(rp), 'lax')
 
     def sync(x):
         return float(jnp.sum(x.astype(jnp.uint32)))
@@ -58,7 +58,7 @@ def main():
 
     # warm the jit caches
     d0 = (jax.device_put(segs[0][0]), jax.device_put(segs[0][1]))
-    t = _segment_probe(r_sv, r_p, d0[0], d0[1], jnp.uint32(0), W)
+    t = _segment_probe(r_sv, r_p, d0[0], d0[1], jnp.uint32(0), W, 'lax')
     sync(t)
 
     # Each leg gets FRESH host copies: jax dedupes repeat transfers of the
@@ -88,7 +88,7 @@ def main():
     t0 = time.perf_counter()
     total = jnp.uint32(0)
     for a, b in staged:
-        total = _segment_probe(r_sv, r_p, a, b, total, W)
+        total = _segment_probe(r_sv, r_p, a, b, total, W, 'lax')
     sync(total)
     t_compute = time.perf_counter() - t0
     agg_compute = int(np.int32(np.uint32(int(sync(total)))))
@@ -103,7 +103,7 @@ def main():
         if i + 1 < nseg:
             nxt = (jax.device_put(legC[i + 1][0]),
                    jax.device_put(legC[i + 1][1]))
-        total = _segment_probe(r_sv, r_p, a, b, total, W)
+        total = _segment_probe(r_sv, r_p, a, b, total, W, 'lax')
     sync(total)
     t_pipe = time.perf_counter() - t0
 

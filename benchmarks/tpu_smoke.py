@@ -17,10 +17,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+RESULTS = []
+
+
 def check(name, fn):
     t0 = time.perf_counter()
-    fn()
+    try:
+        fn()
+    except Exception as e:  # one miscompiling kernel must not kill the gate
+        print(f"  FAIL: {name}: {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
+        RESULTS.append({"check": name, "ok": False,
+                        "error": f"{type(e).__name__}: {str(e)[:200]}"})
+        return
     print(f"  ok: {name} ({time.perf_counter() - t0:.1f}s)", flush=True)
+    RESULTS.append({"check": name, "ok": True,
+                    "seconds": round(time.perf_counter() - t0, 1)})
 
 
 def main():
@@ -105,9 +117,13 @@ def main():
         n, run = 1 << 18, 1 << 17
         sv = rng.randint(-(2**31) + 1, 2**31 - 1, n).astype(np.int32)
         pv = rng.randint(-(2**31), 2**31, n).astype(np.int32)
-        sv2 = np.concatenate([np.sort(sv[:run]), np.sort(sv[run:])])
-        pv2 = np.concatenate([pv[:run][np.argsort(sv[:run], kind="stable")],
-                              pv[run:][np.argsort(sv[run:], kind="stable")]])
+        # cascade run encoding: odd run stored complemented (sorted asc by
+        # the stored value == actual keys descending in position)
+        inv = sv[run:] ^ -1
+        o0 = np.argsort(sv[:run], kind="stable")
+        o1 = np.argsort(inv, kind="stable")
+        sv2 = np.concatenate([sv[:run][o0], inv[o1]])
+        pv2 = np.concatenate([pv[:run][o0], pv[run:][o1]])
         gs, gp = merge_level_hbm(jnp.asarray(sv2), jnp.asarray(pv2), run,
                                  interpret=(dev.platform == "cpu"),
                                  double_buffer=db)
@@ -265,7 +281,15 @@ def main():
 
     check("global chained-HT baseline (gather probe)", _global_ht)
 
-    print("TPU SMOKE: ALL GREEN", flush=True)
+    import json
+    n_fail = sum(1 for r in RESULTS if not r["ok"])
+    print(json.dumps({"smoke": "green" if n_fail == 0 else "red",
+                      "checks": len(RESULTS), "failed": n_fail,
+                      "results": RESULTS}), flush=True)
+    if n_fail == 0:
+        print("TPU SMOKE: ALL GREEN", flush=True)
+    else:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
