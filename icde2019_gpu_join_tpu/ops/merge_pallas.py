@@ -12,26 +12,46 @@ docs/DESIGN_NOTES.md "Mosaic gotchas").
 Structure (analog of the reference's hot partition/ordering kernels,
 src/join-primitives.cu:58-283 — re-thought for a scatterless VPU):
 
-  1. base runs:   XLA segmented sort, runs of BASE_RUN (measured 1.9-5x
-                  faster per element than the flat sort at [many x 4K]).
+  1. base runs:   XLA segmented sort, runs of BASE_RUN.
   2. VMEM levels: `merge_levels_vmem` — each grid tile loads a span of
                   runs and merges `levels` levels entirely in VMEM.
   3. HBM levels:  `merge_level_hbm` — runs too big for VMEM merge via
                   merge-path planning: XLA computes exact diagonal splits
-                  per output tile (vectorized binary search, ~16K tiny
-                  gathers), the kernel DMAs the two 128-aligned windows,
-                  masks the off-diagonal junk to +/-inf sentinels, runs
-                  one 14-stage bitonic merge in VMEM, and writes the
-                  valid rows back at a dynamic (row-aligned) offset.
+                  per output tile (vectorized binary search), the kernel
+                  DMAs the two 128-aligned windows, masks the off-diagonal
+                  junk to +/-inf sentinels, runs one bitonic merge in
+                  VMEM, and writes the valid rows back.
+
+DIRECTION ENCODING (the round-5 fix for Mosaic's missing `rev` lowering):
+a bitonic merge needs its second input run in DESCENDING order, but
+reversing an array inside a Pallas TPU kernel is impossible (`rev` has no
+Mosaic lowering) and rolling is ~50x slow. Instead of moving data we
+complement it: the cascade maintains the invariant that a run with ODD
+global index is stored as the bitwise complement `~k` of its keys, sorted
+ASCENDING by the stored value — which makes the *actual* keys descending
+in position, exactly what the merge needs, at the cost of an elementwise
+XOR (fused, free on the VPU). Every kernel then runs only uniform-
+direction compare-exchange stages:
+
+  - base runs: odd runs' keys are complemented BEFORE the segmented sort
+    (the sort itself produces the descending layout — zero extra passes);
+  - VMEM levels: tiles decode to actual keys on load (per-row XOR mask),
+    merge with per-output-run direction-masked comparators (one XOR per
+    compare), and re-encode on store;
+  - HBM levels: the merge-path planner reads the descending side through
+    `~` and swaps which physical run is the ascending side per pair
+    parity; the kernel complements the B window on load and never needs
+    a direction flag at all (the algebra collapses — see
+    `_merge_path_splits`). The final level's single pair has even index,
+    so the cascade's output is plain ascending keys.
 
 Sentinel caveat: window masking uses INT32_MIN/INT32_MAX as -inf/+inf.
 A *real* key equal to a sentinel could tie with junk inside a window and
 swap payloads with it (bitonic networks are not stable). The public entry
 `merge_sort_pairs` therefore guards: if any sortval equals either
 sentinel it falls back to `lax.sort` via `lax.cond` (both branches
-compiled once; the count costs ~2 vector ops). Rotated keys can hit the
-sentinels only when the pre-rotation key is an exact power of two, but
-they can — the guard keeps this exact, not probabilistic.
+compiled once; the count costs ~2 vector ops). This also covers the
+complement domain, since ~INT_MIN == INT_MAX.
 
 Compare order is SIGNED int32 ascending — identical to `lax.sort` on
 int32, so this is a drop-in for ops/partition.radix_partition's sort.
@@ -66,17 +86,23 @@ HBM_TILE_OUT = HBM_WINDOW - 128   # valid output per HBM tile (63 rows)
 # stage primitives (operate on flat row-major [S, 128] int32 value pairs)
 # ---------------------------------------------------------------------------
 
-def _cx(sv, pv, d: int):
-    """One uniform-direction compare-exchange stage at distance d: for every
-    2d-aligned group, min lands in the low half, max in the high half.
-    d is a static power of two. Pure reshape/min/max — no roll, no gather."""
+def _cx(sv, pv, d: int, dm=None):
+    """One compare-exchange stage at distance d: for every 2d-aligned group,
+    min lands in the low half, max in the high half (direction flipped
+    where the [S,1] mask dm is 1 — dm must be constant across each pair,
+    which holds because directions are constant per output run and every
+    compared pair lies inside one output run). d is a static power of two.
+    Pure reshape/min/max/xor — no roll, no gather, no rev."""
     S = sv.shape[0]
     if d >= 128:
         dr = d // 128
-        a = sv.reshape(S // (2 * dr), 2, dr, 128)
-        p = pv.reshape(S // (2 * dr), 2, dr, 128)
+        g = S // (2 * dr)
+        a = sv.reshape(g, 2, dr, 128)
+        p = pv.reshape(g, 2, dr, 128)
         lo, hi = a[:, 0], a[:, 1]
         swap = hi < lo
+        if dm is not None:
+            swap = swap ^ (dm.reshape(g, 2, dr, 1)[:, 0] != 0)
         nsv = jnp.stack(
             [jnp.where(swap, hi, lo), jnp.where(swap, lo, hi)], axis=1)
         plo, phi = p[:, 0], p[:, 1]
@@ -87,6 +113,8 @@ def _cx(sv, pv, d: int):
     p = pv.reshape(S, 128 // (2 * d), 2, d)
     lo, hi = a[..., 0, :], a[..., 1, :]
     swap = hi < lo
+    if dm is not None:
+        swap = swap ^ (dm.reshape(S, 1, 1) != 0)
     nsv = jnp.stack(
         [jnp.where(swap, hi, lo), jnp.where(swap, lo, hi)], axis=-2)
     plo, phi = p[..., 0, :], p[..., 1, :]
@@ -95,46 +123,17 @@ def _cx(sv, pv, d: int):
     return nsv.reshape(S, 128), npv.reshape(S, 128)
 
 
-def _flip_run(x, rows: int):
-    """Reverse each length-(rows*128) run of flat row-major x ([S,128]):
-    reverse the run's rows and every lane within them."""
-    S = x.shape[0]
-    v = x.reshape(S // rows, rows, 128)
-    return v[:, ::-1, ::-1].reshape(S, 128)
-
-
-def _mirror(sv, pv, run_rows: int):
-    """Mirror stage of the bitonic merge of ADJACENT ASCENDING runs: compare
-    element i of run A with element (L-1-i) of run B for every adjacent
-    (A, B) pair; after it both halves are bitonic-clean: every element of
-    the low half <= every element of the high half, and each half sorts with
-    the remaining power-of-two _cx stages. run_rows = L/128 (L >= 128)."""
-    S = sv.shape[0]
-    g = S // (2 * run_rows)
-    a = sv.reshape(g, 2, run_rows, 128)
-    p = pv.reshape(g, 2, run_rows, 128)
-    A, B = a[:, 0], a[:, 1]
-    PA, PB = p[:, 0], p[:, 1]
-    Bf = B[:, ::-1, ::-1]
-    PBf = PB[:, ::-1, ::-1]
-    swap = Bf < A
-    nA = jnp.where(swap, Bf, A)
-    nBf = jnp.where(swap, A, Bf)
-    nPA = jnp.where(swap, PBf, PA)
-    nPBf = jnp.where(swap, PA, PBf)
-    nsv = jnp.stack([nA, nBf[:, ::-1, ::-1]], axis=1)
-    npv = jnp.stack([nPA, nPBf[:, ::-1, ::-1]], axis=1)
-    return nsv.reshape(S, 128), npv.reshape(S, 128)
-
-
-def _cx_rows(sv, pv, dr: int):
+def _cx_rows(sv, pv, dr: int, dmT=None):
     """Row-distance compare-exchange for arbitrary [rows, cols] tiles
-    (the d >= 128 branch of _cx, generalized for transposed layouts)."""
+    (the d >= 128 branch of _cx, generalized for transposed layouts;
+    dmT is the direction mask transposed to [1, cols])."""
     rows, cols = sv.shape
     a = sv.reshape(rows // (2 * dr), 2, dr, cols)
     p = pv.reshape(rows // (2 * dr), 2, dr, cols)
     lo, hi = a[:, 0], a[:, 1]
     swap = hi < lo
+    if dmT is not None:
+        swap = swap ^ (dmT.reshape(1, 1, cols) != 0)
     nsv = jnp.stack(
         [jnp.where(swap, hi, lo), jnp.where(swap, lo, hi)], axis=1)
     plo, phi = p[:, 0], p[:, 1]
@@ -143,29 +142,33 @@ def _cx_rows(sv, pv, dr: int):
     return nsv.reshape(rows, cols), npv.reshape(rows, cols)
 
 
-def _merge_adjacent_runs(sv, pv, run_len: int, lane_transpose: bool = False):
-    """Merge every adjacent pair of ascending run_len-runs of the flat tile
-    into ascending 2*run_len runs: mirror + log2(run_len) cx stages.
+def _bitonic_merge_pairs(sv, pv, run_len: int, dm=None,
+                         lane_transpose: bool = False):
+    """Merge every adjacent (ascending, descending) pair of run_len-runs of
+    the flat [S, 128] tile into sorted 2*run_len runs: the concatenation of
+    an ascending and a descending run is bitonic, so the merge is the
+    uniform compare-exchange cascade at distances run_len .. 1 — no mirror
+    stage, no reversal. dm ([S,1], 0/1) flips direction per output run.
 
     lane_transpose: run the 7 lane-level stages (d < 128) on a transposed
     tile where they become sublane-row exchanges — one transpose each way
     per array vs 7 lane-dim reshuffles. Which wins is measured on device
     (benchmarks/merge_sort_bench.py stages); both are bit-identical."""
-    sv, pv = _mirror(sv, pv, run_len // 128)
-    d = run_len // 2
+    d = run_len
     while d >= 128:
-        sv, pv = _cx(sv, pv, d)
+        sv, pv = _cx(sv, pv, d, dm)
         d //= 2
     if d == 0:
         return sv, pv
     if not lane_transpose:
         while d >= 1:
-            sv, pv = _cx(sv, pv, d)
+            sv, pv = _cx(sv, pv, d, dm)
             d //= 2
         return sv, pv
     svT, pvT = sv.T, pv.T              # lane-distance pairs -> row pairs
+    dmT = None if dm is None else dm.reshape(1, -1)
     while d >= 1:
-        svT, pvT = _cx_rows(svT, pvT, d)
+        svT, pvT = _cx_rows(svT, pvT, d, dmT)
         d //= 2
     return svT.T, pvT.T
 
@@ -175,13 +178,23 @@ def _merge_adjacent_runs(sv, pv, run_len: int, lane_transpose: bool = False):
 # ---------------------------------------------------------------------------
 
 def _vmem_kernel(sv_ref, pv_ref, osv_ref, opv_ref, *, run_len, levels,
-                 lane_transpose):
+                 tile, lane_transpose):
+    t = pl.program_id(0)
+    S = tile // 128
     sv, pv = sv_ref[:], pv_ref[:]
+    grow = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) + t * S
+    # stored -> actual keys: odd input runs are complement-encoded
+    in_par = (grow // (run_len // 128)) & 1
+    sv = sv ^ (0 - in_par)
     l = run_len
     for _ in range(levels):
-        sv, pv = _merge_adjacent_runs(sv, pv, l, lane_transpose)
+        dm = (grow // ((2 * l) // 128)) & 1   # output-run parity = direction
+        sv, pv = _bitonic_merge_pairs(sv, pv, l, dm=dm,
+                                      lane_transpose=lane_transpose)
         l *= 2
-    osv_ref[:] = sv
+    # actual -> stored: re-encode odd OUTPUT runs
+    out_par = (grow // (l // 128)) & 1
+    osv_ref[:] = sv ^ (0 - out_par)
     opv_ref[:] = pv
 
 
@@ -191,9 +204,11 @@ def _vmem_kernel(sv_ref, pv_ref, osv_ref, opv_ref, *, run_len, levels,
 def merge_levels_vmem(sv, pv, run_len: int, levels: int,
                       tile_elems: int = VMEM_TILE, interpret: bool = False,
                       lane_transpose: bool = False):
-    """Merge ascending runs of run_len into runs of run_len << levels, all
-    levels fused in VMEM per grid tile. n % tile == 0, tile >= run<<levels,
-    run_len >= 128; all powers of two."""
+    """Merge complement-encoded alternating runs of run_len into runs of
+    run_len << levels (same encoding), all levels fused in VMEM per grid
+    tile. n % tile == 0, tile >= run<<levels, run_len >= 128; all powers
+    of two. Input/output runs follow the module invariant: run r is sorted
+    ascending by stored value, stored = actual keys XOR -(r & 1)."""
     n = sv.shape[0]
     tile = min(tile_elems, n)
     assert tile >= (run_len << levels) and n % tile == 0
@@ -201,7 +216,7 @@ def merge_levels_vmem(sv, pv, run_len: int, levels: int,
     blk = pl.BlockSpec((S, 128), lambda t: (t, 0))
     out = pl.pallas_call(
         functools.partial(_vmem_kernel, run_len=run_len, levels=levels,
-                          lane_transpose=lane_transpose),
+                          tile=tile, lane_transpose=lane_transpose),
         grid=(n // tile,),
         in_specs=[blk, blk],
         out_specs=(blk, blk),
@@ -222,11 +237,22 @@ def merge_levels_vmem(sv, pv, run_len: int, levels: int,
 
 def _merge_path_splits(sv, run_len: int, tile_out: int):
     """For every output tile boundary, the exact diagonal split (a, b) with
-    a + b = o, max(A[<a], B[<b]) <= min(A[>=a], B[>=b]) — vectorized binary
+    a + b = o over the WORKING domain of each pair — vectorized binary
     search, ~log2(run_len) gather rounds over all tiles at once.
 
-    Returns int32 arrays [ntiles]: a_lo, b_lo (split at the tile's start,
-    LOCAL to the run pair) plus the pair index of each tile."""
+    Encoding algebra: pair p merges runs 2p and 2p+1. Define the working
+    domain w = actual ^ -(p & 1). In it, exactly one physical run ascends
+    positionally (the 'A' side: run 2p for even p, run 2p+1 for odd p) and
+    its STORED values equal its working values; the other run ('B')
+    descends positionally and its stored values are the complement of its
+    working values — for BOTH parities. The output run (index p at the
+    next level) must be stored as working values directly (actual ^
+    -(p & 1) twice cancels). So the planner reads A as sv[.], B as ~sv[.],
+    swaps the physical bases by parity, and the kernel is parity-free.
+
+    Returns int32 arrays [ntiles]: a, b (split at the tile's start, LOCAL
+    to the run pair, in ascending-view coordinates), the pair index, the
+    output offset o, and the physical A/B base offsets."""
     n = sv.shape[0]
     pair = 2 * run_len
     npairs = n // pair
@@ -237,35 +263,57 @@ def _merge_path_splits(sv, run_len: int, tile_out: int):
     # ragged tail: the last tile of each pair re-covers rows so every tile
     # writes exactly tile_out rows (identical values — deterministic merge)
     o = jnp.minimum(j * tile_out, pair - tile_out)
-    base = p * pair
+    par = p & 1
+    abase = p * pair + par * run_len        # working-ascending physical run
+    bbase = p * pair + (1 - par) * run_len  # working-descending physical run
     lo = jnp.maximum(o - run_len, 0)
     hi = jnp.minimum(o, run_len)
-    # invariant: correct a in [lo, hi]; A[a-1] <= B[o-a] and B[o-a-1] <= A[a]
+    # invariant: correct a in [lo, hi]; A[a-1] <= Bv[o-a] in ascending-view
+    # coords, where A[i] = sv[abase+i] and the ascending view of B is
+    # Bv[i] = ~sv[bbase + run_len-1-i] (B descends physically).
     def body(_, carry):
         lo, hi = carry
         mid = (lo + hi + 1) >> 1  # upper-bound search: largest a with f(a)
         a_prev = jnp.where(
-            mid >= 1, sv[jnp.clip(base + mid - 1, 0, n - 1)], INT_MIN)
+            mid >= 1, sv[jnp.clip(abase + mid - 1, 0, n - 1)], INT_MIN)
+        bj = o - mid
         b_at = jnp.where(
-            o - mid < run_len,
-            sv[jnp.clip(base + run_len + o - mid, 0, n - 1)], INT_MAX)
-        ok = a_prev <= b_at  # A[mid-1] <= B[o-mid]: a can be >= mid
+            bj < run_len,
+            ~sv[jnp.clip(bbase + run_len - 1 - bj, 0, n - 1)], INT_MAX)
+        ok = a_prev <= b_at  # A[mid-1] <= Bv[o-mid]: a can be >= mid
         lo = jnp.where(ok, mid, lo)
         hi = jnp.where(ok, hi, mid - 1)
         return lo, hi
     iters = max(1, int(np.ceil(np.log2(run_len + 1))) + 1)
     a = jax.lax.fori_loop(0, iters, body, (lo, hi))[0]
-    # binary search converges to the largest a with A[a-1] <= B[o-a]; that
+    # binary search converges to the largest a with A[a-1] <= Bv[o-a]; that
     # split satisfies both dominance conditions for the signed-<= order
-    return a.astype(jnp.int32), (o - a).astype(jnp.int32), p, o
+    return (a.astype(jnp.int32), (o - a).astype(jnp.int32), p, o,
+            abase.astype(jnp.int32), bbase.astype(jnp.int32))
+
+
+def _mask_windows(asv_raw, bsv_raw, meta_ref, t, window):
+    """Decode + sentinel-mask the two windows: A ascends (stored==working);
+    B is complement-encoded and descends positionally in working values —
+    junk BEFORE its valid region is larger (mask +inf), junk after smaller
+    (mask -inf), which keeps [A | B] bitonic."""
+    wrow = window // 128
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (wrow, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (wrow, 128), 1))
+    a = jnp.where(idx < meta_ref[t, 2], INT_MIN, asv_raw)
+    a = jnp.where(idx >= meta_ref[t, 3], INT_MAX, a)
+    bw = bsv_raw ^ -1                      # stored -> working
+    b = jnp.where(idx < meta_ref[t, 4], INT_MAX, bw)
+    b = jnp.where(idx >= meta_ref[t, 5], INT_MIN, b)
+    return a, b
 
 
 def _hbm_kernel(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
                 asv, apv, bsv, bpv, msv, mpv, sems, *, window):
-    """One output tile: DMA the two 128-aligned windows, mask off-diagonal
-    junk to sentinels, bitonic-merge 2*window in VMEM, write the valid
-    window-128 rows at the planned output row. meta rows (SMEM, per tile):
-    [a_row0, b_row0, a_lo_off, a_hi_off, b_lo_off, b_hi_off, out_row]."""
+    """One output tile: DMA the two 128-aligned windows, decode + mask
+    off-diagonal junk to sentinels, bitonic-merge 2*window in VMEM, write
+    the valid window-128 rows at the planned output row. meta rows (SMEM,
+    per tile): [a_row0, b_row0, a_lo, a_hi, b_wlo, b_whi, out_row]."""
     t = pl.program_id(0)
     wrow = window // 128
     a_row0 = meta_ref[t, 0]
@@ -279,24 +327,18 @@ def _hbm_kernel(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
     cpPB = pltpu.make_async_copy(
         pv_hbm.at[pl.ds(b_row0, wrow)], bpv, sems.at[3])
     cpA.start(); cpB.start(); cpPA.start(); cpPB.start()
-    idx = (jax.lax.broadcasted_iota(jnp.int32, (wrow, 128), 0) * 128
-           + jax.lax.broadcasted_iota(jnp.int32, (wrow, 128), 1))
     cpA.wait(); cpB.wait(); cpPA.wait(); cpPB.wait()
 
-    def masked(win, lo, hi):
-        w = jnp.where(idx < lo, INT_MIN, win)
-        return jnp.where(idx >= hi, INT_MAX, w)
-
-    a = masked(asv[:], meta_ref[t, 2], meta_ref[t, 3])
-    b = masked(bsv[:], meta_ref[t, 4], meta_ref[t, 5])
+    a, b = _mask_windows(asv[:], bsv[:], meta_ref, t, window)
     sv = jnp.concatenate([a, b], axis=0)
     pv = jnp.concatenate([apv[:], bpv[:]], axis=0)
-    sv, pv = _merge_adjacent_runs(sv, pv, window)
+    sv, pv = _bitonic_merge_pairs(sv, pv, window)
     msv[:] = sv
     mpv[:] = pv
     # valid rows start after the merged junk front: front counts are
-    # 128-aligned by construction of the planner (a_lo + b_lo ≡ 0 mod 128)
-    f = (meta_ref[t, 2] + meta_ref[t, 4]) // 128
+    # 128-aligned by construction of the planner (a_lo + (window - b_whi)
+    # = (a - a0) + (b - b0) ≡ 0 mod 128)
+    f = (meta_ref[t, 2] + window - meta_ref[t, 5]) // 128
     orow = meta_ref[t, 6]
     vrow = (window - 128) // 128
     ow = pltpu.make_async_copy(
@@ -345,21 +387,13 @@ def _hbm_kernel_db(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
     for c in in_copies(t, slot):
         c.wait()
 
-    idx = (jax.lax.broadcasted_iota(jnp.int32, (wrow, 128), 0) * 128
-           + jax.lax.broadcasted_iota(jnp.int32, (wrow, 128), 1))
-
-    def masked(win, lo, hi):
-        w = jnp.where(idx < lo, INT_MIN, win)
-        return jnp.where(idx >= hi, INT_MAX, w)
-
-    a = masked(asv[slot], meta_ref[t, 2], meta_ref[t, 3])
-    b = masked(bsv[slot], meta_ref[t, 4], meta_ref[t, 5])
+    a, b = _mask_windows(asv[slot], bsv[slot], meta_ref, t, window)
     svv = jnp.concatenate([a, b], axis=0)
     pvv = jnp.concatenate([apv[slot], bpv[slot]], axis=0)
-    svv, pvv = _merge_adjacent_runs(svv, pvv, window)
+    svv, pvv = _bitonic_merge_pairs(svv, pvv, window)
 
     vrow = (window - 128) // 128
-    f = (meta_ref[t, 2] + meta_ref[t, 4]) // 128
+    f = (meta_ref[t, 2] + window - meta_ref[t, 5]) // 128
     orow = meta_ref[t, 6]
 
     def out_copies(tt, sl, ff, orw):
@@ -380,7 +414,7 @@ def _hbm_kernel_db(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
     # DMA is waited exactly once (here, or below for the final tile).
     @pl.when(t >= 1)
     def _():
-        pf = (meta_ref[t - 1, 2] + meta_ref[t - 1, 4]) // 128
+        pf = (meta_ref[t - 1, 2] + window - meta_ref[t - 1, 5]) // 128
         po = meta_ref[t - 1, 6]
         for c in out_copies(t - 1, nslot, pf, po):
             c.wait()
@@ -401,28 +435,32 @@ def _hbm_kernel_db(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
                               "double_buffer"))
 def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False,
                     window: int = HBM_WINDOW, double_buffer: bool = False):
-    """One cascade level for runs too large to merge in VMEM: ascending runs
-    of run_len -> 2*run_len. run_len >= window, n % (2*run_len) == 0.
-    `window` (pow2 >= 8192) trades per-tile DMA/grid overhead (~1/window)
-    against stage work (log2(2*window) stages per window-128 output rows) —
-    A/B'd on device by benchmarks/merge_sort_bench.py."""
+    """One cascade level for runs too large to merge in VMEM: complement-
+    encoded alternating runs of run_len -> runs of 2*run_len (same
+    encoding; output run index = pair index). run_len >= window,
+    n % (2*run_len) == 0. `window` (pow2 >= 8192) trades per-tile DMA/grid
+    overhead (~1/window) against stage work (log2(2*window) stages per
+    window-128 output rows) — A/B'd on device by
+    benchmarks/merge_sort_bench.py."""
     n = sv.shape[0]
     tile_out = window - 128
     assert run_len >= window and n % (2 * run_len) == 0
-    a, b, p, o = _merge_path_splits(sv, run_len, tile_out)
+    a, b, p, o, abase, bbase = _merge_path_splits(sv, run_len, tile_out)
     pair = 2 * run_len
-    # 128-align window starts; clamp so windows stay inside the run pair
+    # 128-align window starts; clamp so windows stay inside the runs.
+    # The B window is addressed in ascending-view coords [b0, b0+window)
+    # which is the PHYSICAL row span [run_len-b0-window, run_len-b0) of the
+    # descending side — contiguous, so a single DMA covers it.
     a0 = jnp.minimum(a & ~127, run_len - window)
     b0 = jnp.minimum(b & ~127, run_len - window)
-    base = p * pair
     meta = jnp.stack([
-        (base + a0) // 128,                     # a window start row
-        (base + run_len + b0) // 128,           # b window start row
-        a - a0,                                 # valid lo within A window
+        (abase + a0) // 128,                      # A window start row
+        (bbase + run_len - b0 - window) // 128,   # B window start row (phys)
+        a - a0,                                   # valid lo within A window
         jnp.minimum(a + tile_out, run_len) - a0,  # loose hi; exact below
-        b - b0,
-        jnp.minimum(b + tile_out, run_len) - b0,
-        (base + o) // 128,                      # output row
+        jnp.zeros_like(a),                        # b_wlo placeholder
+        window - (b - b0),                        # b_whi (desc-window coords)
+        (p * pair + o) // 128,                    # output row
     ], axis=1)
     # exact his: splits of the NEXT tile boundary within the same pair give
     # the true contribution ends; the last tile of a pair ends at run ends
@@ -434,7 +472,7 @@ def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False,
     b_hi = jnp.concatenate(
         [b2[:, 1:], jnp.full((b2.shape[0], 1), run_len, jnp.int32)], axis=1)
     meta = meta.at[:, 3].set(a_hi.reshape(-1) - a0)
-    meta = meta.at[:, 5].set(b_hi.reshape(-1) - b0)
+    meta = meta.at[:, 4].set(window - (b_hi.reshape(-1) - b0))
 
     wrow = window // 128
     if double_buffer:
@@ -491,20 +529,32 @@ def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False,
 # full cascade + guarded public entry
 # ---------------------------------------------------------------------------
 
+def encode_base_runs(sv, pv):
+    """XLA side: sort BASE_RUN segments into the complement-encoded
+    alternating layout — odd runs' keys are complemented BEFORE the sort,
+    so the sort itself produces the descending-by-actual-key layout with
+    zero extra memory passes."""
+    rows = sv.shape[0] // BASE_RUN
+    par = (jnp.arange(rows, dtype=jnp.int32) & 1)[:, None]
+    sv2 = sv.reshape(rows, BASE_RUN) ^ (0 - par)
+    pv2 = pv.reshape(rows, BASE_RUN)
+    sv2, pv2 = jax.lax.sort((sv2, pv2), dimension=1, num_keys=1,
+                            is_stable=False)
+    return sv2.reshape(-1), pv2.reshape(-1)
+
+
 def _merge_sort_cascade(sv, pv, interpret: bool = False,
                         vmem_tile: int = VMEM_TILE,
                         vmem_levels_per_call: int = 3,
                         hbm_window: int = HBM_WINDOW,
                         lane_transpose: bool = False,
                         hbm_double_buffer: bool = True):
-    """Segsort base runs, then VMEM cascade calls, then HBM merge-path
-    levels. n must be a power of two >= BASE_RUN."""
+    """Segsort base runs (complement-encoded), then VMEM cascade calls,
+    then HBM merge-path levels. n must be a power of two >= 2*BASE_RUN.
+    The final level's single output run has even index, so the result is
+    plain ascending keys."""
     n = sv.shape[0]
-    sv2 = sv.reshape(-1, BASE_RUN)
-    pv2 = pv.reshape(-1, BASE_RUN)
-    sv2, pv2 = jax.lax.sort((sv2, pv2), dimension=1, num_keys=1,
-                            is_stable=False)
-    sv, pv = sv2.reshape(-1), pv2.reshape(-1)
+    sv, pv = encode_base_runs(sv, pv)
     run = BASE_RUN
     tile = min(vmem_tile, n)
     while run < min(tile, n):

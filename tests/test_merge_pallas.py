@@ -1,5 +1,12 @@
 """Interpret-mode correctness of the Pallas merge-tree sort
-(ops/merge_pallas.py) against lax.sort / numpy on CPU."""
+(ops/merge_pallas.py) against lax.sort / numpy on CPU.
+
+Run encoding (module invariant, round-5 `rev`-free design): run r of the
+cascade is stored sorted ASCENDING by `stored = actual ^ -(r & 1)` — odd
+runs hold complemented keys, which makes their actual keys descending in
+position without any data reversal. The helpers below build/decode that
+layout in numpy for the level-granular tests; the public entry
+`merge_sort_pairs` is encoding-free (unsorted in, ascending out)."""
 
 import jax
 import jax.numpy as jnp
@@ -32,24 +39,62 @@ def make(n, rng, lo=-(2**31), hi=2**31):
     return sv, pv
 
 
-def sorted_runs(sv, pv, run):
-    s2 = sv.reshape(-1, run)
+def encode_runs(sv, pv, run):
+    """Build the cascade's stored-domain layout: run r sorted ascending by
+    stored = actual ^ -(r & 1)."""
+    s2 = sv.reshape(-1, run).copy()
+    s2[1::2] ^= -1
     o = np.argsort(s2, axis=1, kind="stable")
     return (np.take_along_axis(s2, o, 1).reshape(-1),
             np.take_along_axis(pv.reshape(-1, run), o, 1).reshape(-1))
+
+
+def decode_runs(sv, pv, run):
+    """Invert the encoding: per run, actual keys ascending + payloads."""
+    s2 = np.asarray(sv).reshape(-1, run).copy()
+    p2 = np.asarray(pv).reshape(-1, run).copy()
+    s2[1::2] ^= -1
+    s2[1::2] = s2[1::2][:, ::-1]
+    p2[1::2] = p2[1::2][:, ::-1]
+    return s2.reshape(-1), p2.reshape(-1)
+
+
+def test_encode_decode_roundtrip(rng):
+    sv, pv = make(2048, rng, lo=0, hi=100)
+    es, ep = encode_runs(sv, pv, 256)
+    ds, dp = decode_runs(es, ep, 256)
+    for i in range(8):
+        check_pairs(ds[i*256:(i+1)*256], dp[i*256:(i+1)*256],
+                    sv[i*256:(i+1)*256], pv[i*256:(i+1)*256])
 
 
 @pytest.mark.parametrize("lane_transpose", [False, True])
 def test_vmem_levels(rng, lane_transpose):
     n, run, levels = 4096, 256, 3
     sv, pv = make(n, rng, lo=0, hi=500)  # duplicates likely
-    sv, pv = sorted_runs(sv, pv, run)
+    es, ep = encode_runs(sv, pv, run)
     so, po = mp.merge_levels_vmem(
-        jnp.asarray(sv), jnp.asarray(pv), run, levels,
+        jnp.asarray(es), jnp.asarray(ep), run, levels,
         tile_elems=2048, interpret=True, lane_transpose=lane_transpose)
-    so, po = np.asarray(so), np.asarray(po)
-    # runs of run<<levels each sorted, multiset per run preserved
+    # output runs of run<<levels carry the same encoding
     m = run << levels
+    so, po = decode_runs(so, po, m)
+    for i in range(n // m):
+        check_pairs(so[i*m:(i+1)*m], po[i*m:(i+1)*m],
+                    sv[i*m:(i+1)*m], pv[i*m:(i+1)*m])
+
+
+def test_vmem_levels_multi_tile_parity(rng):
+    """Tiles after the first start at odd global run indices — the kernel's
+    program_id-based parity must decode/encode them correctly."""
+    n, run, levels = 8192, 256, 2
+    sv, pv = make(n, rng, lo=-50, hi=50)
+    es, ep = encode_runs(sv, pv, run)
+    so, po = mp.merge_levels_vmem(
+        jnp.asarray(es), jnp.asarray(ep), run, levels,
+        tile_elems=1024, interpret=True)
+    m = run << levels
+    so, po = decode_runs(so, po, m)
     for i in range(n // m):
         check_pairs(so[i*m:(i+1)*m], po[i*m:(i+1)*m],
                     sv[i*m:(i+1)*m], pv[i*m:(i+1)*m])
@@ -65,14 +110,14 @@ def test_vmem_levels(rng, lane_transpose):
 def test_hbm_level(seed, lo, hi, window, db):
     rng = np.random.RandomState(seed)
     run = 2 * mp.HBM_WINDOW  # legal for both window sizes
-    n = 4 * run              # two pairs
+    n = 4 * run              # two pairs: even (asc out) AND odd (encoded out)
     sv, pv = make(n, rng, lo=lo, hi=hi)
-    sv, pv = sorted_runs(sv, pv, run)
+    es, ep = encode_runs(sv, pv, run)
     so, po = mp.merge_level_hbm(
-        jnp.asarray(sv), jnp.asarray(pv), run, interpret=True,
+        jnp.asarray(es), jnp.asarray(ep), run, interpret=True,
         window=window, double_buffer=db)
-    so, po = np.asarray(so), np.asarray(po)
     m = 2 * run
+    so, po = decode_runs(so, po, m)
     for i in range(n // m):
         check_pairs(so[i*m:(i+1)*m], po[i*m:(i+1)*m],
                     sv[i*m:(i+1)*m], pv[i*m:(i+1)*m])
