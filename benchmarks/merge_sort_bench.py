@@ -80,17 +80,30 @@ def bench_stages(lg):
                     ("lane_16", 16), ("lane_1", 1)]:
         if 2 * d > n:
             continue
-        tile = min(max(1 << 19, 2 * d), n)
-        t = timeit(stage_reps, sv, pv, d, REPS, tile)
+        # tile capped at 2^18 elems = 1 MB/buffer: the lane-distance stages'
+        # odd reshapes need scratch and OOMed VMEM at 2^19 (round-5 capture)
+        tile = min(max(1 << 18, 2 * d), n)
+        try:
+            t = timeit(stage_reps, sv, pv, d, REPS, tile)
+        except Exception as e:  # noqa: BLE001 — capture, keep measuring
+            print(json.dumps({"stage": name, "d": d,
+                              "error": " ".join(str(e).split())[:160]}))
+            continue
         rate = n * REPS / t / 1e9
         out[f"{name}_Gelem_stage_s"] = round(rate, 1)
         print(json.dumps({"stage": name, "d": d, "ms": round(t * 1e3, 2),
                           "Gelem_stage_s": round(rate, 1)}))
     # one full VMEM merge level at run=tile/2, both lane-stage formulations
-    tile = min(1 << 19, n)
+    tile = min(1 << 18, n)
     for lt in (False, True):
-        t = timeit(lambda a, b: mp.merge_levels_vmem(
-            a, b, tile // 2, 1, tile_elems=tile, lane_transpose=lt), sv, pv)
+        try:
+            t = timeit(lambda a, b: mp.merge_levels_vmem(
+                a, b, tile // 2, 1, tile_elems=tile, lane_transpose=lt),
+                sv, pv)
+        except Exception as e:  # noqa: BLE001
+            out[f"vmem_level_lt{int(lt)}_error"] = (
+                " ".join(str(e).split())[:160])
+            continue
         out[f"vmem_level_ms_lt{int(lt)}"] = round(t * 1e3, 2)
     print(json.dumps(out))
     return out
