@@ -35,15 +35,43 @@ from icde2019_gpu_join_tpu.ops import merge_pallas as mp
 REPS = 24
 
 
+def _sync(r):
+    """Force execution on the remote axon backend: block_until_ready is NOT
+    a reliable sync there (round-5 capture: 0.06 ms for a 134 MB kernel —
+    physically impossible); pulling one scalar to the host is. See
+    sortgeom_bench.py's methodology notes."""
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
+_RTT = None
+
+
+def _rtt():
+    """Tunnel round-trip of one scalar pull (subtracted from measurements)."""
+    global _RTT
+    if _RTT is None:
+        x = jnp.zeros((8, 128), jnp.int32)
+        f = jax.jit(lambda a: a + 1)
+        _sync(f(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _sync(f(x))
+            ts.append(time.perf_counter() - t0)
+        _RTT = min(ts)
+    return _RTT
+
+
 def timeit(fn, *args, reps=5):
-    fn(*args)  # compile
+    _sync(fn(*args))  # compile + warm
+    rtt = _rtt()
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        r = fn(*args)
-        jax.block_until_ready(r)
+        _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
-    return best
+    return max(best - rtt, 1e-9)
 
 
 def _stage_kernel(sv_ref, pv_ref, osv_ref, opv_ref, *, d, reps):

@@ -190,11 +190,201 @@ def p_vmem_one_level():
     _compile(jax.jit(lambda a, b: f(a, b)), sv, sv)
 
 
+def _stage_probe(d):
+    """One _cx stage at distance d, standard BlockSpec, no concat/mask."""
+    S = 2 * WROW
+
+    def kern(a_ref, b_ref, o_ref):
+        sv, pv = mp._cx(a_ref[:], b_ref[:], d)
+        o_ref[:] = sv + pv
+
+    blk = pl.BlockSpec((S, 128), lambda t: (t, 0))
+    x = jnp.zeros((S, 128), jnp.int32)
+    call = pl.pallas_call(
+        kern, grid=(1,), in_specs=[blk, blk], out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((S, 128), jnp.int32),
+    )
+    _compile(jax.jit(lambda a, b: call(a, b)), x, x)
+
+
+def p_concat_only():
+    """jnp.concatenate of two VMEM blocks, nothing else."""
+    def kern(a_ref, b_ref, o_ref):
+        o_ref[:] = jnp.concatenate([a_ref[:], b_ref[:]], axis=0)
+
+    blk = pl.BlockSpec((WROW, 128), lambda t: (t, 0))
+    x = jnp.zeros((WROW, 128), jnp.int32)
+    call = pl.pallas_call(
+        kern, grid=(1,), in_specs=[blk, blk],
+        out_specs=pl.BlockSpec((2 * WROW, 128), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((2 * WROW, 128), jnp.int32),
+    )
+    _compile(jax.jit(lambda a, b: call(a, b)), x, x)
+
+
+def p_sublane_ladder():
+    """Merge ladder restricted to sublane distances (d >= 128), no concat."""
+    S = 2 * WROW
+
+    def kern(a_ref, b_ref, o_ref):
+        sv, pv = a_ref[:], b_ref[:]
+        d = S * 128 // 2
+        while d >= 128:
+            sv, pv = mp._cx(sv, pv, d)
+            d //= 2
+        o_ref[:] = sv + pv
+
+    blk = pl.BlockSpec((S, 128), lambda t: (t, 0))
+    x = jnp.zeros((S, 128), jnp.int32)
+    call = pl.pallas_call(
+        kern, grid=(1,), in_specs=[blk, blk], out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((S, 128), jnp.int32),
+    )
+    _compile(jax.jit(lambda a, b: call(a, b)), x, x)
+
+
+def p_dirmask_stage():
+    """One direction-masked sublane stage (iota-derived dm), d >= 128."""
+    S = 2 * WROW
+
+    def kern(a_ref, b_ref, o_ref):
+        grow = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        dm = grow & 1
+        sv, pv = mp._cx(a_ref[:], b_ref[:], 128, dm)
+        o_ref[:] = sv + pv
+
+    blk = pl.BlockSpec((S, 128), lambda t: (t, 0))
+    x = jnp.zeros((S, 128), jnp.int32)
+    call = pl.pallas_call(
+        kern, grid=(1,), in_specs=[blk, blk], out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((S, 128), jnp.int32),
+    )
+    _compile(jax.jit(lambda a, b: call(a, b)), x, x)
+
+
+def p_transpose_only():
+    """Plain [S,128] -> [128,S] transpose round-trip in VMEM."""
+    S = 2 * WROW
+
+    def kern(a_ref, o_ref):
+        o_ref[:] = a_ref[:].T.T + 1
+
+    blk = pl.BlockSpec((S, 128), lambda t: (t, 0))
+    x = jnp.zeros((S, 128), jnp.int32)
+    call = pl.pallas_call(
+        kern, grid=(1,), in_specs=[blk], out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((S, 128), jnp.int32),
+    )
+    _compile(jax.jit(lambda a: call(a)), x)
+
+
+def p_lane_ladder_T():
+    """The 7 lane stages as row stages on a transposed tile (_cx_rows)."""
+    S = 2 * WROW
+
+    def kern(a_ref, b_ref, o_ref):
+        svT, pvT = a_ref[:].T, b_ref[:].T
+        d = 64
+        while d >= 1:
+            svT, pvT = mp._cx_rows(svT, pvT, d)
+            d //= 2
+        o_ref[:] = svT.T + pvT.T
+
+    blk = pl.BlockSpec((S, 128), lambda t: (t, 0))
+    x = jnp.zeros((S, 128), jnp.int32)
+    call = pl.pallas_call(
+        kern, grid=(1,), in_specs=[blk, blk], out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((S, 128), jnp.int32),
+    )
+    _compile(jax.jit(lambda a, b: call(a, b)), x, x)
+
+
+def p_full_merge_T():
+    """Full bitonic merge with lane stages transposed (the fix candidate)."""
+    S = 2 * WROW
+
+    def kern(a_ref, b_ref, o_ref):
+        sv = jnp.concatenate([a_ref[:], b_ref[:]], axis=0)
+        pv = jnp.concatenate([b_ref[:], a_ref[:]], axis=0)
+        sv, pv = mp._bitonic_merge_pairs(sv, pv, S * 128,
+                                         lane_transpose=True)
+        o_ref[:] = sv[:S] + pv[S:]
+
+    blk = pl.BlockSpec((S, 128), lambda t: (t, 0))
+    x = jnp.zeros((S, 128), jnp.int32)
+    call = pl.pallas_call(
+        kern, grid=(1,), in_specs=[blk, blk], out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((S, 128), jnp.int32),
+    )
+    _compile(jax.jit(lambda a, b: call(a, b)), x, x)
+
+
+def p_merge_T_dm():
+    """full_merge_T + a direction mask (the dmT comparator XOR)."""
+    S = 2 * WROW
+
+    def kern(a_ref, b_ref, o_ref):
+        grow = jax.lax.broadcasted_iota(jnp.int32, (2 * S, 1), 0)
+        dm = grow & 1
+        sv = jnp.concatenate([a_ref[:], b_ref[:]], axis=0)
+        pv = jnp.concatenate([b_ref[:], a_ref[:]], axis=0)
+        sv, pv = mp._bitonic_merge_pairs(sv, pv, S * 128, dm=dm,
+                                         lane_transpose=True)
+        o_ref[:] = sv[:S] + pv[S:]
+
+    blk = pl.BlockSpec((S, 128), lambda t: (t, 0))
+    x = jnp.zeros((S, 128), jnp.int32)
+    call = pl.pallas_call(
+        kern, grid=(1,), in_specs=[blk, blk], out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((S, 128), jnp.int32),
+    )
+    _compile(jax.jit(lambda a, b: call(a, b)), x, x)
+
+
+def p_vmem_lt_1():
+    """merge_levels_vmem lane_transpose, ONE level, small tile."""
+    f = functools.partial(mp.merge_levels_vmem, run_len=4096, levels=1,
+                          tile_elems=1 << 13, lane_transpose=True)
+    sv = jnp.zeros(1 << 14, jnp.int32)
+    _compile(jax.jit(lambda a, b: f(a, b)), sv, sv)
+
+
+def p_vmem_lt_param():
+    """merge_levels_vmem lane_transpose with geometry from env (compile-time
+    scaling probe): BISECT_RUN, BISECT_LEVELS, BISECT_TILE (log2)."""
+    import time
+    run = 1 << int(os.environ.get("BISECT_RUN", "12"))
+    levels = int(os.environ.get("BISECT_LEVELS", "1"))
+    tile = 1 << int(os.environ.get("BISECT_TILE", "14"))
+    n = max(tile, run << levels)
+    f = functools.partial(mp.merge_levels_vmem, run_len=run, levels=levels,
+                          tile_elems=tile, lane_transpose=True)
+    sv = jnp.zeros(n, jnp.int32)
+    t0 = time.perf_counter()
+    _compile(jax.jit(lambda a, b: f(a, b)), sv, sv)
+    print(json.dumps({"compile_s": round(time.perf_counter() - t0, 1),
+                      "run": run, "levels": levels, "tile": tile}))
+
+
 PROBES = [
+    ("transpose_only", p_transpose_only),
+    ("merge_T_dm", p_merge_T_dm),
+    ("vmem_lt_1", p_vmem_lt_1),
+    ("vmem_lt_param", p_vmem_lt_param),
+    ("lane_ladder_T", p_lane_ladder_T),
+    ("full_merge_T", p_full_merge_T),
+    ("concat_only", p_concat_only),
+    ("lane_64", lambda: _stage_probe(64)),
+    ("lane_16", lambda: _stage_probe(16)),
+    ("lane_1", lambda: _stage_probe(1)),
+    ("sublane_ladder", p_sublane_ladder),
+    ("dirmask_stage", p_dirmask_stage),
     ("concat_merge", p_concat_merge),
     ("vmem_one_level", p_vmem_one_level),
     ("vmem", p_vmem),
-    ("vmem_lt", p_vmem_lt),
+    # vmem_lt (levels=2, tile 2^16) hangs the compiler >10 min — run it
+    # explicitly by name if ever needed; see vmem_lt_param for the
+    # compile-time scaling data (S=128 ok at ~47 s, S=512 times out).
     ("min_dma", p_min_dma),
     ("min_dma_compute", p_min_dma_compute),
     ("hbm", p_hbm),

@@ -78,8 +78,10 @@ INT_MAX = 0x7FFFFFFF
 
 BASE_RUN = 4096          # XLA segsort base run length
 VMEM_TILE = 1 << 20      # elements per VMEM merge tile (4 MB/array)
+DEVICE_VMEM_TILE = 1 << 14  # compile-safe tile: S=128 rows (see cascade doc)
 HBM_WINDOW = 8192        # per-side window of the HBM merge-path kernel
 HBM_TILE_OUT = HBM_WINDOW - 128   # valid output per HBM tile (63 rows)
+CASCADE_MAX_N = 1 << 27  # SMEM meta budget bound (see merge_sort_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -300,24 +302,25 @@ def _mask_windows(asv_raw, bsv_raw, meta_ref, t, window):
     wrow = window // 128
     idx = (jax.lax.broadcasted_iota(jnp.int32, (wrow, 128), 0) * 128
            + jax.lax.broadcasted_iota(jnp.int32, (wrow, 128), 1))
-    a = jnp.where(idx < meta_ref[t, 2], INT_MIN, asv_raw)
-    a = jnp.where(idx >= meta_ref[t, 3], INT_MAX, a)
+    a = jnp.where(idx < meta_ref[2, t], INT_MIN, asv_raw)
+    a = jnp.where(idx >= meta_ref[3, t], INT_MAX, a)
     bw = bsv_raw ^ -1                      # stored -> working
-    b = jnp.where(idx < meta_ref[t, 4], INT_MAX, bw)
-    b = jnp.where(idx >= meta_ref[t, 5], INT_MIN, b)
+    b = jnp.where(idx < meta_ref[4, t], INT_MAX, bw)
+    b = jnp.where(idx >= meta_ref[5, t], INT_MIN, b)
     return a, b
 
 
 def _hbm_kernel(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
-                asv, apv, bsv, bpv, msv, mpv, sems, *, window):
+                asv, apv, bsv, bpv, msv, mpv, sems, *, window,
+                lane_transpose=False):
     """One output tile: DMA the two 128-aligned windows, decode + mask
     off-diagonal junk to sentinels, bitonic-merge 2*window in VMEM, write
     the valid window-128 rows at the planned output row. meta rows (SMEM,
     per tile): [a_row0, b_row0, a_lo, a_hi, b_wlo, b_whi, out_row]."""
     t = pl.program_id(0)
     wrow = window // 128
-    a_row0 = meta_ref[t, 0]
-    b_row0 = meta_ref[t, 1]
+    a_row0 = meta_ref[0, t]
+    b_row0 = meta_ref[1, t]
     cpA = pltpu.make_async_copy(
         sv_hbm.at[pl.ds(a_row0, wrow)], asv, sems.at[0])
     cpB = pltpu.make_async_copy(
@@ -332,14 +335,15 @@ def _hbm_kernel(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
     a, b = _mask_windows(asv[:], bsv[:], meta_ref, t, window)
     sv = jnp.concatenate([a, b], axis=0)
     pv = jnp.concatenate([apv[:], bpv[:]], axis=0)
-    sv, pv = _bitonic_merge_pairs(sv, pv, window)
+    sv, pv = _bitonic_merge_pairs(sv, pv, window,
+                                  lane_transpose=lane_transpose)
     msv[:] = sv
     mpv[:] = pv
     # valid rows start after the merged junk front: front counts are
     # 128-aligned by construction of the planner (a_lo + (window - b_whi)
     # = (a - a0) + (b - b0) ≡ 0 mod 128)
-    f = (meta_ref[t, 2] + window - meta_ref[t, 5]) // 128
-    orow = meta_ref[t, 6]
+    f = (meta_ref[2, t] + window - meta_ref[5, t]) // 128
+    orow = meta_ref[6, t]
     vrow = (window - 128) // 128
     ow = pltpu.make_async_copy(
         msv.at[pl.ds(f, vrow)], osv_hbm.at[pl.ds(orow, vrow)], sems.at[0])
@@ -350,7 +354,8 @@ def _hbm_kernel(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
 
 
 def _hbm_kernel_db(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
-                   asv, apv, bsv, bpv, msv, mpv, isems, osems, *, window):
+                   asv, apv, bsv, bpv, msv, mpv, isems, osems, *, window,
+                   lane_transpose=False):
     """Double-buffered variant: tile t+1's four window DMAs are started
     before tile t's merge runs, and the two output staging slots let the
     write-back DMA ride behind the next tile's compute."""
@@ -361,8 +366,8 @@ def _hbm_kernel_db(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
     nslot = (t + 1) % 2
 
     def in_copies(tt, sl):
-        a0 = meta_ref[tt, 0]
-        b0 = meta_ref[tt, 1]
+        a0 = meta_ref[0, tt]
+        b0 = meta_ref[1, tt]
         return (
             pltpu.make_async_copy(
                 sv_hbm.at[pl.ds(a0, wrow)], asv.at[sl], isems.at[sl, 0]),
@@ -390,11 +395,12 @@ def _hbm_kernel_db(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
     a, b = _mask_windows(asv[slot], bsv[slot], meta_ref, t, window)
     svv = jnp.concatenate([a, b], axis=0)
     pvv = jnp.concatenate([apv[slot], bpv[slot]], axis=0)
-    svv, pvv = _bitonic_merge_pairs(svv, pvv, window)
+    svv, pvv = _bitonic_merge_pairs(svv, pvv, window,
+                                    lane_transpose=lane_transpose)
 
     vrow = (window - 128) // 128
-    f = (meta_ref[t, 2] + window - meta_ref[t, 5]) // 128
-    orow = meta_ref[t, 6]
+    f = (meta_ref[2, t] + window - meta_ref[5, t]) // 128
+    orow = meta_ref[6, t]
 
     def out_copies(tt, sl, ff, orw):
         return (
@@ -414,8 +420,8 @@ def _hbm_kernel_db(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
     # DMA is waited exactly once (here, or below for the final tile).
     @pl.when(t >= 1)
     def _():
-        pf = (meta_ref[t - 1, 2] + window - meta_ref[t - 1, 5]) // 128
-        po = meta_ref[t - 1, 6]
+        pf = (meta_ref[2, t - 1] + window - meta_ref[5, t - 1]) // 128
+        po = meta_ref[6, t - 1]
         for c in out_copies(t - 1, nslot, pf, po):
             c.wait()
 
@@ -432,9 +438,10 @@ def _hbm_kernel_db(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
 
 @functools.partial(
     jax.jit, static_argnames=("run_len", "interpret", "window",
-                              "double_buffer"))
+                              "double_buffer", "lane_transpose"))
 def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False,
-                    window: int = HBM_WINDOW, double_buffer: bool = False):
+                    window: int = HBM_WINDOW, double_buffer: bool = False,
+                    lane_transpose: bool = False):
     """One cascade level for runs too large to merge in VMEM: complement-
     encoded alternating runs of run_len -> runs of 2*run_len (same
     encoding; output run index = pair index). run_len >= window,
@@ -453,26 +460,30 @@ def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False,
     # descending side — contiguous, so a single DMA covers it.
     a0 = jnp.minimum(a & ~127, run_len - window)
     b0 = jnp.minimum(b & ~127, run_len - window)
+    # meta layout is [7, ntiles], NOT [ntiles, 7]: SMEM pads the LAST dim
+    # to 128 lanes, so a [ntiles, 7] prefetch operand would blow up 18x
+    # (measured on device at 2^27: 10 MB request vs the 1 MB SMEM budget);
+    # row-per-field keeps it at 28 B/tile.
     meta = jnp.stack([
-        (abase + a0) // 128,                      # A window start row
-        (bbase + run_len - b0 - window) // 128,   # B window start row (phys)
-        a - a0,                                   # valid lo within A window
-        jnp.minimum(a + tile_out, run_len) - a0,  # loose hi; exact below
-        jnp.zeros_like(a),                        # b_wlo placeholder
-        window - (b - b0),                        # b_whi (desc-window coords)
-        (p * pair + o) // 128,                    # output row
-    ], axis=1)
+        (abase + a0) // 128,                      # 0: A window start row
+        (bbase + run_len - b0 - window) // 128,   # 1: B window start (phys)
+        a - a0,                                   # 2: valid lo within A win
+        jnp.minimum(a + tile_out, run_len) - a0,  # 3: loose hi; exact below
+        jnp.zeros_like(a),                        # 4: b_wlo placeholder
+        window - (b - b0),                        # 5: b_whi (desc coords)
+        (p * pair + o) // 128,                    # 6: output row
+    ], axis=0)
     # exact his: splits of the NEXT tile boundary within the same pair give
     # the true contribution ends; the last tile of a pair ends at run ends
-    ntiles_pp = meta.shape[0] // (n // pair)
+    ntiles_pp = meta.shape[1] // (n // pair)
     a2 = a.reshape(-1, ntiles_pp)
     b2 = b.reshape(-1, ntiles_pp)
     a_hi = jnp.concatenate(
         [a2[:, 1:], jnp.full((a2.shape[0], 1), run_len, jnp.int32)], axis=1)
     b_hi = jnp.concatenate(
         [b2[:, 1:], jnp.full((b2.shape[0], 1), run_len, jnp.int32)], axis=1)
-    meta = meta.at[:, 3].set(a_hi.reshape(-1) - a0)
-    meta = meta.at[:, 4].set(window - (b_hi.reshape(-1) - b0))
+    meta = meta.at[3, :].set(a_hi.reshape(-1) - a0)
+    meta = meta.at[4, :].set(window - (b_hi.reshape(-1) - b0))
 
     wrow = window // 128
     if double_buffer:
@@ -486,7 +497,8 @@ def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False,
             pltpu.SemaphoreType.DMA((2, 4)),            # input sems
             pltpu.SemaphoreType.DMA((2, 2)),            # output sems
         ]
-        kern = functools.partial(_hbm_kernel_db, window=window)
+        kern = functools.partial(_hbm_kernel_db, window=window,
+                                 lane_transpose=lane_transpose)
     else:
         scratch = [
             pltpu.VMEM((wrow, 128), jnp.int32),
@@ -497,10 +509,11 @@ def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False,
             pltpu.VMEM((2 * wrow, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
         ]
-        kern = functools.partial(_hbm_kernel, window=window)
+        kern = functools.partial(_hbm_kernel, window=window,
+                                 lane_transpose=lane_transpose)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(meta.shape[0],),
+        grid=(meta.shape[1],),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -544,15 +557,26 @@ def encode_base_runs(sv, pv):
 
 
 def _merge_sort_cascade(sv, pv, interpret: bool = False,
-                        vmem_tile: int = VMEM_TILE,
-                        vmem_levels_per_call: int = 3,
+                        vmem_tile: int = DEVICE_VMEM_TILE,
+                        vmem_levels_per_call: int = 2,
                         hbm_window: int = HBM_WINDOW,
-                        lane_transpose: bool = False,
+                        lane_transpose: bool = True,
                         hbm_double_buffer: bool = True):
     """Segsort base runs (complement-encoded), then VMEM cascade calls,
     then HBM merge-path levels. n must be a power of two >= 2*BASE_RUN.
     The final level's single output run has even index, so the result is
-    plain ascending keys."""
+    plain ascending keys.
+
+    DEVICE GEOMETRY (round-5 Mosaic bisect, benchmarks/mosaic_bisect.py):
+    the lane-distance (d < 128) compare-exchange reshape kills the Mosaic
+    compiler outright (tpu_compile_helper exit 1 at every d in {1,16,64}),
+    so on device the lane stages MUST run in the transposed formulation
+    (lane_transpose=True — compiles clean). Transposed-stage compile time
+    then explodes with tile height: S=128 tiles (tile 2^14) compile in
+    ~47 s, S=512 (tile 2^16) times out >5 min. Hence the defaults: 2^14
+    VMEM tiles (one 2-level call from the 4096 base runs) and everything
+    above 2^14 via the HBM merge-path kernel, whose in-VMEM merge is
+    2*window = 2^14 elements = the same compile-safe S=128 shape."""
     n = sv.shape[0]
     sv, pv = encode_base_runs(sv, pv)
     run = BASE_RUN
@@ -567,7 +591,8 @@ def _merge_sort_cascade(sv, pv, interpret: bool = False,
     while run < n:
         sv, pv = merge_level_hbm(sv, pv, run, interpret=interpret,
                                  window=hbm_window,
-                                 double_buffer=hbm_double_buffer)
+                                 double_buffer=hbm_double_buffer,
+                                 lane_transpose=lane_transpose)
         run <<= 1
     return sv, pv
 
@@ -595,12 +620,16 @@ def packed_sort_pairs(sv, pv):
 def merge_sort_pairs(sv, pv, interpret: bool = False):
     """Sort (sv, pv) by sv ascending (signed int32), drop-in for the 2-op
     lax.sort. Falls back to lax.sort when any sortval equals a masking
-    sentinel (see module docstring) or when n isn't a power-of-two multiple
-    of BASE_RUN (engine shapes always are)."""
+    sentinel (see module docstring), when n isn't a power-of-two multiple
+    of BASE_RUN (engine shapes always are), or when n > CASCADE_MAX_N
+    (the HBM planner's per-level [7, ntiles] scalar-prefetch meta must fit
+    the 1 MB SMEM budget; at the first HBM level ntiles ~ 5*n/2^15, which
+    crosses ~900 KB just above 2^27)."""
     if jax.default_backend() == "cpu":
         interpret = True  # Pallas TPU kernels only interpret on CPU
     n = sv.shape[0]
-    if n < 2 * BASE_RUN or (n & (n - 1)) != 0:
+    if (n < 2 * BASE_RUN or (n & (n - 1)) != 0
+            or (n > CASCADE_MAX_N and not interpret)):
         return jax.lax.sort((sv, pv), num_keys=1, is_stable=False)
     has_edge = jnp.any(sv == INT_MIN) | jnp.any(sv == INT_MAX)
     return jax.lax.cond(

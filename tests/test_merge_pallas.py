@@ -100,14 +100,18 @@ def test_vmem_levels_multi_tile_parity(rng):
                     sv[i*m:(i+1)*m], pv[i*m:(i+1)*m])
 
 
-@pytest.mark.parametrize("seed,lo,hi,window,db", [
-    (0, -(2**31), 2**31, mp.HBM_WINDOW, False),
-    (1, 0, 64, mp.HBM_WINDOW, False),
-    (2, -(2**31), 2**31, 2 * mp.HBM_WINDOW, False),
-    (3, -(2**31), 2**31, mp.HBM_WINDOW, True),
-    (4, 0, 64, mp.HBM_WINDOW, True),
+@pytest.mark.parametrize("seed,lo,hi,window,db,lt", [
+    (0, -(2**31), 2**31, mp.HBM_WINDOW, False, False),
+    (1, 0, 64, mp.HBM_WINDOW, False, False),
+    (2, -(2**31), 2**31, 2 * mp.HBM_WINDOW, False, False),
+    (3, -(2**31), 2**31, mp.HBM_WINDOW, True, False),
+    (4, 0, 64, mp.HBM_WINDOW, True, False),
+    # lane_transpose: the ONLY formulation that compiles on device (the
+    # d<128 reshape kills Mosaic — benchmarks/mosaic_bisect.py, round 5)
+    (5, -(2**31), 2**31, mp.HBM_WINDOW, False, True),
+    (6, -(2**31), 2**31, mp.HBM_WINDOW, True, True),
 ])
-def test_hbm_level(seed, lo, hi, window, db):
+def test_hbm_level(seed, lo, hi, window, db, lt):
     rng = np.random.RandomState(seed)
     run = 2 * mp.HBM_WINDOW  # legal for both window sizes
     n = 4 * run              # two pairs: even (asc out) AND odd (encoded out)
@@ -115,7 +119,7 @@ def test_hbm_level(seed, lo, hi, window, db):
     es, ep = encode_runs(sv, pv, run)
     so, po = mp.merge_level_hbm(
         jnp.asarray(es), jnp.asarray(ep), run, interpret=True,
-        window=window, double_buffer=db)
+        window=window, double_buffer=db, lane_transpose=lt)
     m = 2 * run
     so, po = decode_runs(so, po, m)
     for i in range(n // m):
