@@ -185,19 +185,32 @@ def config3(scale):
     sk = rk[rng.integers(0, n_r, n_s)].astype(np.int32)
     s_filter = rng.integers(0, 1000, n_s).astype(np.int32)
     s_gid = rng.integers(0, groups, n_s).astype(np.int32)
+    # 2^29 probe rows do not fit the fused single-program pipeline (6 GB
+    # args + 12 GB HLO temps > 15.75 GB HBM): stream 2^27-row segments,
+    # exactly the reference's out-of-memory regime for this config.
+    segments = max(1, n_s >> 27)
+    extra = {}
     args = (jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk),
-            jnp.asarray(s_filter), jnp.asarray(s_gid),
-            jnp.int32(100), jnp.int32(600))
-    cnt, sums = filter_probe_groupby(*args, num_groups=groups)
+            jnp.asarray(s_filter), jnp.asarray(s_gid))
+    if segments > 1:
+        from icde2019_gpu_join_tpu.models.pipelines import (
+            filter_probe_groupby_streamed)
+        run = lambda: filter_probe_groupby_streamed(
+            *args, 100, 600, num_groups=groups, segments=segments)
+        extra = {"segments": segments}
+    else:
+        run = lambda: filter_probe_groupby(
+            *args, jnp.int32(100), jnp.int32(600), num_groups=groups)
+    cnt, sums = run()
     np.asarray(cnt)  # real sync: block_until_ready is a no-op on axon
     t0 = time.perf_counter()
-    cnt, sums = filter_probe_groupby(*args, num_groups=groups)
+    cnt, sums = run()
     cnt, sums = np.asarray(cnt), np.asarray(sums)
     dt = time.perf_counter() - t0
     ec, es = _oracle_groupby_cached(f"c3_s{scale}_seed42", rk, rp, sk,
                                     s_filter, s_gid, 100, 600, groups)
     ok = np.array_equal(cnt, ec) and np.array_equal(sums, es)
-    _report(3, f"filter_probe_groupby_{n_s>>20}M", n_s, dt, ok)
+    _report(3, f"filter_probe_groupby_{n_s>>20}M", n_s, dt, ok, extra)
 
 
 def config4(scale):

@@ -103,6 +103,65 @@ def _filter_probe_groupby(r_keys, r_pay, s_keys, s_filter_col, s_group_id,
     return _groupby_sums2_exact(gid, h, t, num_groups)
 
 
+@partial(jax.jit, static_argnames=("sort_impl",))
+def _sort_r_for_probe(r_keys, r_pay, sort_impl: str):
+    return sort_by_key(r_keys, r_pay, sort_impl)
+
+
+@partial(jax.jit, static_argnames=("num_groups", "window_blocks",
+                                   "sort_impl"))
+def _fpg_segment(r_sv, r_p, s_keys, s_filter_col, s_group_id, lo, hi,
+                 num_groups: int, window_blocks: int, sort_impl: str):
+    """One probe-side segment of filter->probe->group-by against
+    pre-sorted R. Returns the segment's per-group (COUNT, SUM) partials."""
+    keep = (s_filter_col >= lo) & (s_filter_col < hi)
+    sk_masked = jnp.where(keep, s_keys, jnp.int32(-2))
+    n_s = s_keys.shape[0]
+    s_sv, s_gid = sort_by_key(sk_masked, s_group_id, sort_impl)
+    h, t = banded_probe_per_s(r_sv, r_p, s_sv, window_blocks=window_blocks)
+    return _groupby_sums2_exact(s_gid[:n_s], h[:n_s], t[:n_s], num_groups)
+
+
+def filter_probe_groupby_streamed(
+    r_keys, r_pay, s_keys, s_filter_col, s_group_id, lo, hi,
+    num_groups: int, segments: int, window_blocks: int = 1,
+    sort_impl: str = None):
+    """filter_probe_groupby with the probe side processed in `segments`
+    equal slices — the out-of-HBM regime for config 3 at nominal scale
+    (2^29 probe rows: the fused pipeline's 6 GB of arguments + 12 GB of
+    HLO temps exceed the 16 GB chip; per-segment temps at 2^27 fit with
+    room). Same COUNT/SUM-mod-2^32 semantics: per-group partials from
+    each segment accumulate exactly in uint32.
+
+    The reference handles this scale by streaming the probe side through
+    fixed device buffers (hash_join_clustered_probe.cu, Join3); here each
+    segment reruns the fused sort->banded-probe->group-by at segment
+    shape, so XLA compiles ONE segment program reused for all slices.
+    """
+    import numpy as np
+
+    impl = resolve_sort_impl(sort_impl)
+    r_sv, r_p = _sort_r_for_probe(jnp.asarray(r_keys), jnp.asarray(r_pay),
+                                  impl)
+    s_keys = jnp.asarray(s_keys)
+    s_filter_col = jnp.asarray(s_filter_col)
+    s_group_id = jnp.asarray(s_group_id)
+    n = s_keys.shape[0]
+    if n % segments:
+        raise ValueError(f"segments={segments} must divide n_s={n}")
+    seg = n // segments
+    cnt = np.zeros(num_groups, np.uint32)
+    sums = np.zeros(num_groups, np.uint32)
+    for i in range(segments):
+        sl = slice(i * seg, (i + 1) * seg)
+        h, t = _fpg_segment(
+            r_sv, r_p, s_keys[sl], s_filter_col[sl], s_group_id[sl],
+            jnp.int32(lo), jnp.int32(hi), num_groups, window_blocks, impl)
+        cnt += np.asarray(h).view(np.uint32)
+        sums += np.asarray(t).view(np.uint32)
+    return cnt.view(np.int32), sums.view(np.int32)
+
+
 @partial(jax.jit, static_argnames=("num_groups",))
 def filter_groupby(
     keys: jnp.ndarray,

@@ -77,6 +77,37 @@ def test_filter_probe_groupby_duplicate_R(rng):
         assert np.array_equal(np.asarray(sums), exp_sums), f"seed {seed}"
 
 
+def test_filter_probe_groupby_streamed_matches_fused(rng):
+    """The out-of-HBM config-3 regime: probe side in equal segments with
+    uint32 partial accumulation must equal the fused pipeline bit for bit
+    (including wraparound sums and dup-key R)."""
+    from icde2019_gpu_join_tpu.models.pipelines import (
+        filter_probe_groupby_streamed)
+
+    n_r, n_s, G = 3000, 8192, 11
+    rk = rng.randint(0, 500, n_r).astype(np.int32)   # dup-key R
+    rp = rng.randint(-(2**31), 2**31 - 1, n_r).astype(np.int64).astype(
+        np.int32)
+    sk = np.concatenate([
+        rk[rng.randint(0, n_r, n_s - n_s // 4)],
+        (rng.randint(0, 500, n_s // 4) + 9000).astype(np.int32),
+    ]).astype(np.int32)
+    rng.shuffle(sk)
+    fcol = rng.randint(0, 100, n_s).astype(np.int32)
+    gid = rng.randint(0, G, n_s).astype(np.int32)
+    lo, hi = 10, 85
+    fc, fs = filter_probe_groupby(
+        jnp.asarray(rk), jnp.asarray(rp), jnp.asarray(sk),
+        jnp.asarray(fcol), jnp.asarray(gid), jnp.int32(lo), jnp.int32(hi),
+        G)
+    for segments in (1, 4, 8):
+        sc, ss = filter_probe_groupby_streamed(
+            rk, rp, sk, fcol, gid, lo, hi, num_groups=G,
+            segments=segments)
+        assert np.array_equal(np.asarray(fc), sc), f"segments {segments}"
+        assert np.array_equal(np.asarray(fs), ss), f"segments {segments}"
+
+
 def test_filter_groupby(rng):
     n, G = 5000, 8
     keys = rng.randint(0, 1000, n).astype(np.int32)
