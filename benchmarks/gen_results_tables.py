@@ -120,11 +120,15 @@ def render() -> str:
     lines = []
     if bench:
         p, src = bench
+        frontier = ""
+        if "vs_sort_frontier" in p:
+            frontier = (f"{p['vs_sort_frontier']} of the measured sort "
+                        f"frontier (engine-class bound), ")
         lines.append(
             f"Headline (`bench.py`): **{p['value']} {p['unit']}** on "
             f"{p['metric']} ({p.get('device', '?')}), "
-            f"vs_baseline {p.get('vs_baseline', '?')} of the engine-class "
-            f"speed of light — `{src}`.")
+            f"{frontier}vs_baseline {p.get('vs_baseline', '?')} of the "
+            f"aspirational scatter SOL — `{src}`.")
         lines.append("")
     if configs:
         lines.append("| config | result | source artifact |")
