@@ -441,14 +441,17 @@ def _hbm_kernel_db(meta_ref, sv_hbm, pv_hbm, osv_hbm, opv_hbm,
                               "double_buffer", "lane_transpose"))
 def merge_level_hbm(sv, pv, run_len: int, interpret: bool = False,
                     window: int = HBM_WINDOW, double_buffer: bool = False,
-                    lane_transpose: bool = False):
+                    lane_transpose: bool = True):
     """One cascade level for runs too large to merge in VMEM: complement-
     encoded alternating runs of run_len -> runs of 2*run_len (same
     encoding; output run index = pair index). run_len >= window,
     n % (2*run_len) == 0. `window` (pow2 >= 8192) trades per-tile DMA/grid
     overhead (~1/window) against stage work (log2(2*window) stages per
     window-128 output rows) — A/B'd on device by
-    benchmarks/merge_sort_bench.py."""
+    benchmarks/merge_sort_bench.py. lane_transpose defaults True: the
+    untransposed lane-stage reshape crashes the Mosaic compiler on device
+    (see _merge_sort_cascade's DEVICE GEOMETRY note); False is only for
+    compiler bisects and interpret-mode A/Bs."""
     n = sv.shape[0]
     tile_out = window - 128
     assert run_len >= window and n % (2 * run_len) == 0
